@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Tests must run without TPU hardware; multi-chip sharding tests use the
+virtual CPU mesh (the TPU-native answer to testing multi-node without a
+cluster — see SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The env var alone is not enough under the axon harness (it re-registers the
+# TPU plugin); the config update reliably pins the CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,195 @@
+"""Parity tests for the geometry primitives against slow NumPy/torch oracles.
+
+Follows the reference's own test pattern (unit_test.py:14-35): pin the fast
+path to an obviously-correct dense-matrix implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vn_pointcloudcompletion_tpu.ops import (
+    chamfer_distance,
+    chamfer_distance_reference,
+    earth_mover_distance,
+    approx_match,
+    furthest_point_sample,
+    fps,
+    knn,
+    pairwise_sqdist,
+    random_rotations,
+    random_z_rotations,
+    rotate_points,
+    folding_grid_2d,
+    folding_grid_3d,
+)
+
+
+class TestChamfer:
+    @pytest.mark.parametrize("dim", [2, 3, 5])
+    def test_matches_dense_oracle(self, rng, dim):
+        x = rng.standard_normal((2, 257, dim)).astype(np.float32)
+        y = rng.standard_normal((2, 130, dim)).astype(np.float32)
+        d1, d2, i1, i2 = jax.jit(chamfer_distance)(x, y)
+        rd1, rd2, ri1, ri2 = chamfer_distance_reference(x, y)
+        np.testing.assert_allclose(d1, rd1, atol=1e-4)
+        np.testing.assert_allclose(d2, rd2, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i1), ri1)
+        np.testing.assert_array_equal(np.asarray(i2), ri2)
+
+    def test_tiled_path(self, rng):
+        # Sizes that force multiple scan tiles with padding remainder.
+        x = rng.standard_normal((1, 64, 3)).astype(np.float32)
+        y = rng.standard_normal((1, 1300, 3)).astype(np.float32)
+        import vn_pointcloudcompletion_tpu.ops.chamfer as ch
+
+        old = ch._TILE_BUDGET
+        try:
+            ch._TILE_BUDGET = 1  # tile = _MIN_TILE = 512 -> 3 tiles w/ padding
+            d1, d2, i1, i2 = chamfer_distance(x, y)
+        finally:
+            ch._TILE_BUDGET = old
+        rd1, rd2, ri1, ri2 = chamfer_distance_reference(x, y)
+        np.testing.assert_allclose(d1, rd1, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i1), ri1)
+        np.testing.assert_allclose(d2, rd2, atol=1e-4)
+
+    def test_gradients_match_dense_autodiff(self, rng):
+        x = rng.standard_normal((2, 40, 3)).astype(np.float32)
+        y = rng.standard_normal((2, 30, 3)).astype(np.float32)
+
+        def loss_fast(x, y):
+            d1, d2, _, _ = chamfer_distance(x, y)
+            return jnp.mean(d1) + jnp.mean(d2)
+
+        def loss_dense(x, y):
+            diff = x[:, :, None, :] - y[:, None, :, :]
+            dist = jnp.sum(diff * diff, axis=-1)
+            return jnp.mean(dist.min(axis=2)) + jnp.mean(dist.min(axis=1))
+
+        gx_f, gy_f = jax.grad(loss_fast, argnums=(0, 1))(x, y)
+        gx_d, gy_d = jax.grad(loss_dense, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(gx_f, gx_d, atol=1e-5)
+        np.testing.assert_allclose(gy_f, gy_d, atol=1e-5)
+
+
+class TestEMD:
+    def test_match_is_doubly_stochastic_scaled(self, rng):
+        x = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.1
+        y = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.1
+        match = np.asarray(approx_match(x, y))  # (B, M, N)
+        # equal counts: rows and columns each sum to ~1
+        np.testing.assert_allclose(match.sum(axis=1), 1.0, atol=2e-2)
+        np.testing.assert_allclose(match.sum(axis=2), 1.0, atol=2e-2)
+
+    def test_identity_clouds_give_near_zero(self, rng):
+        x = rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.1
+        cost = earth_mover_distance(x, x)
+        assert float(cost[0]) < 1e-3
+
+    def test_cost_upper_bounds_and_permutation_invariance(self, rng):
+        x = rng.standard_normal((1, 64, 3)).astype(np.float32) * 0.1
+        perm = rng.permutation(64)
+        cost = float(earth_mover_distance(x, x[:, perm])[0])
+        assert cost < 1e-3  # perfect matching exists
+
+    def test_grad_flows_through_points_not_match(self, rng):
+        x = rng.standard_normal((1, 32, 3)).astype(np.float32) * 0.1
+        y = rng.standard_normal((1, 32, 3)).astype(np.float32) * 0.1
+        g = jax.grad(lambda a: jnp.sum(earth_mover_distance(a, y)))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestFPS:
+    def test_first_index_is_zero_and_unique(self, rng):
+        pts = rng.standard_normal((3, 200, 3)).astype(np.float32)
+        idx = np.asarray(furthest_point_sample(pts, 50))
+        assert (idx[:, 0] == 0).all()
+        for b in range(3):
+            assert len(set(idx[b].tolist())) == 50
+
+    def test_greedy_maxmin_against_numpy(self, rng):
+        pts = rng.standard_normal((1, 100, 3)).astype(np.float32)
+        idx = np.asarray(furthest_point_sample(pts, 10))[0]
+
+        # slow reference
+        p = pts[0]
+        ref = [0]
+        mind = np.full(100, np.inf)
+        for _ in range(9):
+            d = np.sum((p - p[ref[-1]]) ** 2, axis=-1)
+            mind = np.minimum(mind, d)
+            ref.append(int(np.argmax(mind)))
+        np.testing.assert_array_equal(idx, np.array(ref))
+
+    def test_fps_subsample_shape(self, rng):
+        pts = rng.standard_normal((2, 100, 3)).astype(np.float32)
+        sub = fps(pts, 17)
+        assert sub.shape == (2, 17, 3)
+
+
+class TestKNN:
+    def test_against_numpy_argsort(self, rng):
+        q = rng.standard_normal((2, 50, 3)).astype(np.float32)
+        r = rng.standard_normal((2, 80, 3)).astype(np.float32)
+        d, idx = knn(q, r, 8)
+        dn = np.asarray(pairwise_sqdist(q, r))
+        ref_idx = np.argsort(dn, axis=-1, kind="stable")[:, :, :8]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d), axis=-1),
+            np.take_along_axis(dn, ref_idx, axis=-1),
+            atol=1e-4,
+        )
+        # distances at returned indices match returned distances
+        np.testing.assert_allclose(
+            np.take_along_axis(dn, np.asarray(idx), axis=-1), np.asarray(d), atol=1e-4
+        )
+
+    def test_sorted_ascending(self, rng):
+        q = rng.standard_normal((1, 30, 3)).astype(np.float32)
+        d, _ = knn(q, q, 5)
+        d = np.asarray(d)
+        assert (np.diff(d, axis=-1) >= -1e-6).all()
+        # self is nearest with distance ~0
+        np.testing.assert_allclose(d[:, :, 0], 0.0, atol=1e-5)
+
+
+class TestRotations:
+    def test_random_rotations_are_orthonormal(self):
+        r = np.asarray(random_rotations(jax.random.key(0), 16))
+        eye = np.eye(3)[None].repeat(16, axis=0)
+        np.testing.assert_allclose(r @ r.transpose(0, 2, 1), eye, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+    def test_z_rotations_fix_z(self):
+        r = np.asarray(random_z_rotations(jax.random.key(1), 8))
+        z = np.array([0.0, 0.0, 1.0])
+        np.testing.assert_allclose(
+            np.einsum("d,bde->be", z, r), z[None].repeat(8, axis=0), atol=1e-6
+        )
+
+    def test_rotate_points_preserves_norms(self, rng):
+        p = rng.standard_normal((4, 20, 3)).astype(np.float32)
+        r = random_rotations(jax.random.key(2), 4)
+        q = np.asarray(rotate_points(p, r))
+        np.testing.assert_allclose(
+            np.linalg.norm(q, axis=-1), np.linalg.norm(p, axis=-1), atol=1e-4
+        )
+
+
+class TestGrids:
+    def test_grid_shapes_and_extent(self):
+        g2 = np.asarray(folding_grid_2d(4))
+        g3 = np.asarray(folding_grid_3d(8))
+        assert g2.shape == (2, 16) and g3.shape == (3, 64)
+        assert g2.min() == -0.05 and g2.max() == 0.05
+        np.testing.assert_array_equal(g3[2], 0.0)
+
+    def test_grid_ordering_matches_torch_expand(self):
+        # a varies fastest: first row repeats the linspace
+        g = np.asarray(folding_grid_2d(4))
+        lin = np.linspace(-0.05, 0.05, 4, dtype=np.float32)
+        np.testing.assert_allclose(g[0], np.tile(lin, 4), atol=1e-7)
+        np.testing.assert_allclose(g[1], np.repeat(lin, 4), atol=1e-7)

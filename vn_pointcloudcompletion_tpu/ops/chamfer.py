@@ -1,0 +1,159 @@
+"""Chamfer distance: bidirectional nearest-neighbour squared distances.
+
+TPU-native replacement for the reference's CUDA kernels
+(``extensions/chamfer_distance/chamfer3D.cu:12-174`` and the vendored copies in
+``extensions/ChamferDistancePytorch/chamfer{2,3,5}D``).  One dimension-generic
+implementation serves all call sites; the extra index outputs cover the DCD
+loss (``extensions/ChamferDistancePytorch/chamfer3D/dist_chamfer_3D.py:67-75``).
+
+Design (TPU-first, not a kernel translation):
+
+- The O(N*M) distance matrix is never materialised in HBM.  The forward pass
+  scans over tiles of the second cloud, keeping only a running (min, argmin)
+  per query point.  Each tile's distances come from one ``dot_general``
+  (the ``|x|^2 + |y|^2 - 2<x,y>`` expansion) which XLA maps onto the MXU.
+- A custom VJP makes the backward pass O(N+M) memory: it re-gathers the
+  matched points by index and scatters the ``2*g*(x - y_nn)`` contributions,
+  mirroring the semantics of the reference's ``NmDistanceGradKernel``
+  (atomicAdd scatter) without atomics — scatter-add in XLA is deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Keep per-tile scratch (N * TILE distances) around ~8M f32 elements (32 MB).
+_TILE_BUDGET = 8 * 1024 * 1024
+_MIN_TILE = 512
+
+
+def _tile_size(n: int, m: int) -> int:
+    tile = max(_MIN_TILE, _TILE_BUDGET // max(n, 1))
+    tile = min(tile, m)
+    # round up to a multiple that divides the padded M nicely
+    return tile
+
+
+def _nn_one_sided(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each point in ``x`` (N, D): min squared distance to ``y`` (M, D) and argmin.
+
+    Scans over tiles of ``y`` so peak memory is O(N * tile) instead of O(N * M).
+    """
+    n, d = x.shape
+    m = y.shape[0]
+    tile = _tile_size(n, m)
+    num_tiles = -(-m // tile)
+    pad = num_tiles * tile - m
+    if pad:
+        # Zero-pad, then mask padded columns out of the min below (inf-padding
+        # the coordinates would produce NaNs via the quadratic expansion).
+        y = jnp.concatenate([y, jnp.zeros((pad, d), dtype=y.dtype)], axis=0)
+    y_tiles = y.reshape(num_tiles, tile, d)
+
+    x_sq = jnp.sum(x * x, axis=-1)  # (N,)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile_idx, y_t = inp
+        y_sq = jnp.sum(y_t * y_t, axis=-1)  # (tile,)
+        # (N, tile) distances via MXU matmul
+        # HIGHEST precision: a bf16 single-pass matmul (the TPU default) can
+        # mis-rank near-tied nearest neighbours.
+        cross = jax.lax.dot_general(
+            x, y_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dist = x_sq[:, None] + y_sq[None, :] - 2.0 * cross
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + tile_idx * tile
+        dist = jnp.where(col < m, dist, jnp.inf)
+        tile_min = jnp.min(dist, axis=1)
+        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32) + tile_idx * tile
+        take = tile_min < best_d
+        best_d = jnp.where(take, tile_min, best_d)
+        best_i = jnp.where(take, tile_arg, best_i)
+        return (best_d, best_i), None
+
+    init = (
+        jnp.full((n,), jnp.inf, dtype=jnp.float32),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(num_tiles, dtype=jnp.int32), y_tiles)
+    )
+    # Clamp tiny negatives from the quadratic expansion.
+    best_d = jnp.maximum(best_d, 0.0)
+    return best_d, best_i
+
+
+@jax.custom_vjp
+def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
+    """Bidirectional Chamfer.  ``x``: (B, N, D), ``y``: (B, M, D), any D.
+
+    Returns ``(dist1, dist2, idx1, idx2)`` — squared distances, matching the
+    reference wrapper ``dist_chamfer_3D.chamfer_3DDist`` (and
+    ``chamfer_distance.py:74-84`` which uses only the first two outputs).
+    """
+    return _chamfer_fwd_impl(x, y)
+
+
+def _chamfer_fwd_impl(x, y):
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    d1, i1 = jax.vmap(_nn_one_sided)(x, y)
+    d2, i2 = jax.vmap(_nn_one_sided)(y, x)
+    return d1, d2, i1, i2
+
+
+def _chamfer_fwd(x, y):
+    out = _chamfer_fwd_impl(x, y)
+    d1, d2, i1, i2 = out
+    return out, (x, y, i1, i2)
+
+
+def _chamfer_bwd(res, grads):
+    x, y, i1, i2 = res
+    g1, g2, _, _ = grads
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    y_nn = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, D)
+    x_nn = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, D)
+
+    # d1_n = |x_n - y_{i1_n}|^2  ->  dx_n += 2 g1_n (x_n - y_nn), dy_{i1_n} -= same
+    gx_direct = 2.0 * g1[..., None] * (x - y_nn)
+    # d2_m = |y_m - x_{i2_m}|^2  ->  dy_m += 2 g2_m (y_m - x_nn), dx_{i2_m} -= same
+    gy_direct = 2.0 * g2[..., None] * (y - x_nn)
+
+    def scatter(zeros, idx, vals):
+        return zeros.at[idx].add(vals)
+
+    gx = gx_direct + jax.vmap(scatter)(jnp.zeros_like(x), i2, -gy_direct)
+    gy = gy_direct + jax.vmap(scatter)(jnp.zeros_like(y), i1, -gx_direct)
+    return gx, gy
+
+
+chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def chamfer_distance_reference(x: np.ndarray, y: np.ndarray):
+    """Slow, obviously-correct NumPy oracle (full distance matrix).
+
+    Mirrors the reference's vendored pure-torch oracle
+    ``extensions/ChamferDistancePytorch/chamfer_python.py:18-39`` — kept next
+    to the fast path so an exactness test can pin the two together
+    (the reference's own test pattern, ``unit_test.py:14-35``).
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    diff = x[:, :, None, :] - y[:, None, :, :]
+    dist = np.sum(diff * diff, axis=-1)  # (B, N, M)
+    d1 = dist.min(axis=2)
+    d2 = dist.min(axis=1)
+    i1 = dist.argmin(axis=2).astype(np.int32)
+    i2 = dist.argmin(axis=1).astype(np.int32)
+    return d1.astype(np.float32), d2.astype(np.float32), i1, i2

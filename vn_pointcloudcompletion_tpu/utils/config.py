@@ -1,0 +1,114 @@
+"""Config system — JSON file <-> dataclass with the reference's exact field names.
+
+Mirrors ``utils/experiments.py:17-49`` (load root ``config.json`` or
+``<exp_dir>/config.json`` on resume) and ``:90-100`` (snapshot into the
+experiment dir), plus the ``.env``-style ``OUTPUT_DIR`` / ``DATA_PATH``
+environment overrides (``main.py:10``, ``utils/experiments.py:14,47``) —
+identical field names so reference experiment configs are drop-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class Config:
+    # model selection (config.json of the reference, README.md:45-66)
+    enc_type: str = "vn_pointnet"
+    dec_type: str = "vn_foldingnet"
+    only_coarse: bool = False
+    num_coarse: int = 1024
+    latent_dim: int = 2048
+    enc_pretrained: str = "none"
+    freeze_encoder: bool = False
+    freeze_decoder: bool = False
+
+    # losses
+    coarse_loss: str = "cd"  # cd | emd | dcd
+    dcd_opts: Dict[str, float] = field(default_factory=lambda: {"alpha": 200, "lambda": 0.5})
+
+    # rotation augmentation
+    rotation: str = "none"  # none | canonical | z | so3
+    val_rotation: str = "so3"
+    test_rotation: str = "so3"
+
+    # optimisation
+    batch_size: int = 12
+    lr: float = 1e-4
+    max_epochs: int = 400
+    clip_gradient: float = 0.5
+
+    # data
+    category: str = "all"
+    data_path: str = "./data/"
+    data_type: str = "shapenet"
+    num_workers: int = 8
+
+    # bookkeeping
+    name: str = "experiment"
+    run_name: str = ""
+    exp_dir: str = ""
+    checkpoint: int = 0
+    log_frequency: int = 10
+    overfit: bool = False
+
+    # accepted-but-unused reference fields, kept for config-file parity
+    VN: bool = False
+    model: str = ""
+    device: str = "tpu"
+    use_cuda: bool = False
+
+    # TPU-native additions (absent fields default; reference configs still load)
+    seed: int = 0
+    dtype: str = "float32"  # compute dtype for model matmuls: float32 | bfloat16
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    steps_per_epoch: Optional[int] = None  # override for synthetic data
+    dataset: str = "shapenet"  # shapenet | synthetic
+
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in d.items() if k in names and k != "extra"}
+        extra = {k: v for k, v in d.items() if k not in names}
+        cfg = cls(**known)
+        cfg.extra = extra
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        extra = d.pop("extra", {})
+        d.update(extra)
+        return d
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def output_dir() -> str:
+    return os.environ.get("OUTPUT_DIR", "./experiments/")
+
+
+def load_config(experiment_name: Optional[str] = None, root: str = ".") -> Config:
+    """Load root ``config.json`` (new run) or an experiment's snapshot (resume)."""
+    if experiment_name is None:
+        config_path = os.path.join(root, "config.json")
+    else:
+        config_path = os.path.join(root, output_dir(), experiment_name, "config.json")
+    with open(config_path) as f:
+        cfg = Config.from_dict(json.load(f))
+    if "DATA_PATH" in os.environ:
+        cfg.data_path = os.environ["DATA_PATH"]
+    return cfg
+
+
+def store_config(config: Config) -> None:
+    """Snapshot the config into its experiment dir (``utils/experiments.py:90-100``)."""
+    with open(os.path.join(config.exp_dir, "config.json"), "w") as f:
+        json.dump(config.to_dict(), f, indent=4, sort_keys=True)
