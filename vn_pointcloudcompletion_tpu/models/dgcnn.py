@@ -1,0 +1,256 @@
+"""DGCNN-family encoders.
+
+TPU-native rebuild of ``models/dgcnn.py`` and ``models/utils/transform_net.py``:
+
+- ``DGCNNfps``     <- reference :19-161 (EdgeConv + GroupNorm, FPS 2048->512->128)
+- ``VNDGCNNfps``   <- reference :164-324 (VN EdgeConv variant)
+- ``DGCNN``        <- reference :327-417 (classic k=40 DGCNN with T-Net;
+                      coarse-only — its dense path references undefined
+                      attributes upstream, :404-417)
+- ``TransformNet`` <- models/utils/transform_net.py:12-57
+
+kNN graphs and FPS come from ``ops`` (no CUDA externals); gathers are plain
+``take_along_axis``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vn_pointcloudcompletion_tpu.models.common import (
+    BatchNormCh,
+    ConvCh,
+    DenseTorch,
+    GroupNormCh,
+)
+from vn_pointcloudcompletion_tpu.nn.vn import (
+    VNLinear,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+    mean_pool,
+)
+from vn_pointcloudcompletion_tpu.ops.fps import fps, furthest_point_sample
+from vn_pointcloudcompletion_tpu.ops.knn import graph_feature, knn, vn_graph_feature
+
+
+def fps_downsample_scalar(coor, x, num_group):
+    """FPS on coordinates, gather coords + features (reference :78-94).
+
+    coor: (B, 3, N), x: (B, C, N) -> (B, 3, S), (B, C, S).
+    """
+    idx = furthest_point_sample(coor.transpose(0, 2, 1), num_group)  # (B, S)
+    new_coor = jnp.take_along_axis(coor, idx[:, None, :], axis=2)
+    new_x = jnp.take_along_axis(x, idx[:, None, :], axis=2)
+    return new_coor, new_x
+
+
+def fps_downsample_vn(coor, x, num_group):
+    """VN variant (reference :203-223): features are (B, C, 3, N)."""
+    b, c, _, n = x.shape
+    idx = furthest_point_sample(coor.transpose(0, 2, 1), num_group)
+    new_coor = jnp.take_along_axis(coor, idx[:, None, :], axis=2)
+    new_x = jnp.take_along_axis(x, idx[:, None, None, :], axis=3)
+    return new_coor, new_x
+
+
+def _edge_scalar(coor_q, x_q, coor_k, x_k, k=16):
+    """EdgeConv features with kNN in coordinate space (reference :96-119)."""
+    _, idx = knn(coor_q.transpose(0, 2, 1), coor_k.transpose(0, 2, 1), k)
+    return graph_feature(x_q, x_k, idx)  # (B, 2C, Nq, K)
+
+
+def _edge_vn(x, k=16, coords=None):
+    """VN EdgeConv features (reference :250-278).
+
+    kNN graph over ``coords`` (B, 3, N) when given, else dynamically over the
+    flattened (B, 3C, N) feature space.
+    """
+    if coords is None:
+        b, c, _, n = x.shape
+        flat = x.reshape(b, c * 3, n).transpose(0, 2, 1)
+        _, idx = knn(flat, flat, k)
+    else:
+        pts = coords.transpose(0, 2, 1)
+        _, idx = knn(pts, pts, k)
+    return vn_graph_feature(x, x, idx)  # (B, 2C, 3, N, K)
+
+
+class DGCNNfps(nn.Module):
+    """Scalar DGCNN encoder with FPS downsampling (reference :19-161)."""
+
+    num_coarse: int = 1024
+    latent_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
+        b = xyz.shape[0]
+        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+        f = ConvCh(8, name="input_trans")(coor)
+
+        def layer(h, out, name):
+            h = ConvCh(out, use_bias=False, name=f"{name}_conv")(h)
+            h = GroupNormCh(4, name=f"{name}_gn")(h)
+            h = nn.leaky_relu(h, 0.2)
+            return jnp.max(h, axis=-1)  # over K
+
+        f = layer(_edge_scalar(coor, f, coor, f), 32, "layer1")  # (B, 32, N)
+        coor_q, f_q = fps_downsample_scalar(coor, f, 512)
+        f = layer(_edge_scalar(coor_q, f_q, coor, f), 64, "layer2")
+        coor = coor_q  # (B, 3, 512)
+        f = layer(_edge_scalar(coor, f, coor, f), 64, "layer3")
+        coor_q, f_q = fps_downsample_scalar(coor, f, 128)
+        f = layer(_edge_scalar(coor_q, f_q, coor, f), 128, "layer4")  # (B, 128, 128)
+
+        g = ConvCh(1024, name="increase_dim_0")(f)
+        g = BatchNormCh(name="increase_bn")(g, train=train)
+        g = nn.leaky_relu(g, 0.2)
+        g = ConvCh(1024, name="increase_dim_1")(g)
+        feature_global = jnp.max(g, axis=-1)  # (B, 1024)
+
+        h = nn.relu(DenseTorch(1024, name="coarse_pred_0")(feature_global))
+        coarse = DenseTorch(3 * nc, name="coarse_pred_1")(h).reshape(b, nc, 3)
+
+        if nc == 224:
+            inp_sparse = fps(xyz, 224)
+            coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
+            return (coarse, coarse_cat), feature_global
+        return coarse, feature_global
+
+
+class VNDGCNNfps(nn.Module):
+    """VN DGCNN encoder (reference :164-324).
+
+    Returns vector-valued ``feature_global`` (B, 512, 3, 1) and coarse points
+    predicted as vector channels by the ``conv7`` head.
+    """
+
+    num_coarse: int = 1024
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
+        b = xyz.shape[0]
+        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+        x = coor[:, None]  # (B, 1, 3, N)
+
+        # dynamic graph on raw coords (first layer: feature space == coords)
+        f = _edge_vn(x, 16)  # (B, 2, 3, N, 16)
+        f = VNLinearLeakyReLU(32, name="conv1")(f, train=train)
+        x1 = mean_pool(f)  # (B, 32, 3, N)
+
+        coor_q, f_q = fps_downsample_vn(coor, x1, 512)
+        f = _edge_vn(f_q, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(64, name="conv4")(f, train=train)
+        f = mean_pool(f)
+
+        f = _edge_vn(f, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(128, name="conv5")(f, train=train)
+        f = mean_pool(f)
+
+        coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
+        f = _edge_vn(f_q, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(512, name="conv6")(f, train=train)
+        f = mean_pool(f)  # (B, 512, 3, 128)
+
+        global_feature = VNMaxPool(name="pool5")(f)[..., None]  # (B, 512, 3, 1)
+        h = VNLinearLeakyReLU(1024, name="conv7_0")(global_feature, train=train)
+        coarse = VNLinear(nc, name="conv7_1")(h)[..., 0]  # (B, nc, 3)
+
+        if nc == 224:
+            inp_sparse = fps(xyz, 224)
+            coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
+            return (coarse, coarse_cat), global_feature
+        return coarse, global_feature
+
+
+class TransformNet(nn.Module):
+    """DGCNN T-Net predicting a 3x3 alignment, identity-initialised
+    (models/utils/transform_net.py:12-57)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, 6, N, K) edge features of raw coords
+        b = x.shape[0]
+        h = ConvCh(64, use_bias=False, name="conv1")(x)
+        h = BatchNormCh(name="bn1")(h, train=train)
+        h = nn.leaky_relu(h, 0.2)
+        h = ConvCh(128, use_bias=False, name="conv2")(h)
+        h = BatchNormCh(name="bn2")(h, train=train)
+        h = nn.leaky_relu(h, 0.2)
+        h = jnp.max(h, axis=-1)  # over K -> (B, 128, N)
+        h = ConvCh(1024, use_bias=False, name="conv3")(h)
+        h = BatchNormCh(name="bn3")(h, train=train)
+        h = nn.leaky_relu(h, 0.2)
+        h = jnp.max(h, axis=-1)  # (B, 1024)
+        h = nn.leaky_relu(
+            BatchNormCh(name="bn4")(DenseTorch(512, use_bias=False, name="linear1")(h), train=train),
+            0.2,
+        )
+        h = nn.leaky_relu(
+            BatchNormCh(name="bn5")(DenseTorch(256, use_bias=False, name="linear2")(h), train=train),
+            0.2,
+        )
+        w = self.param("transform_kernel", nn.initializers.zeros, (256, 9))
+        bias = self.param(
+            "transform_bias",
+            lambda key, shape: jnp.eye(3).reshape(9),
+            (9,),
+        )
+        t = h @ w + bias
+        return t.reshape(b, 3, 3)
+
+
+class DGCNN(nn.Module):
+    """Classic DGCNN with input T-Net, k=40 (reference :327-417).
+
+    Coarse-only: the reference's dense branch uses undefined attributes
+    (:404-417) and cannot run; parity is the working coarse path.
+    """
+
+    num_coarse: int = 448
+    latent_dim: int = 1024
+    n_knn: int = 40
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        b, n, _ = xyz.shape
+        x = xyz.transpose(0, 2, 1)  # (B, 3, N)
+
+        def graph(h):
+            pts = h.transpose(0, 2, 1)
+            _, idx = knn(pts, pts, self.n_knn)
+            return graph_feature(h, h, idx)  # (B, 2C, N, K)
+
+        x0 = graph(x)
+        t = TransformNet(name="transform_net")(x0, train=train)
+        x = jnp.einsum("bdn,bde->ben", x, t)  # x^T @ t, back to (B, 3, N)
+
+        def conv_bn(h, out, name):
+            h = ConvCh(out, use_bias=False, name=f"{name}_conv")(h)
+            h = BatchNormCh(name=f"{name}_bn")(h, train=train)
+            return nn.leaky_relu(h, 0.2)
+
+        h = graph(x)
+        h = conv_bn(h, 64, "conv1")
+        h = conv_bn(h, 64, "conv2")
+        x1 = jnp.max(h, axis=-1)
+
+        h = graph(x1)
+        h = conv_bn(h, 64, "conv3")
+        h = conv_bn(h, 64, "conv4")
+        x2 = jnp.max(h, axis=-1)
+
+        h = graph(x2)
+        h = conv_bn(h, 64, "conv5")
+        x3 = jnp.max(h, axis=-1)
+
+        h = jnp.concatenate([x1, x2, x3], axis=1)  # (B, 192, N)
+        h = conv_bn(h, 1024, "conv6")
+        feature_global = jnp.max(h, axis=-1)  # (B, 1024)
+
+        m = nn.relu(DenseTorch(1024, name="mlp_0")(feature_global))
+        m = nn.relu(DenseTorch(1024, name="mlp_1")(m))
+        coarse = DenseTorch(3 * self.num_coarse, name="mlp_2")(m)
+        return coarse.reshape(b, self.num_coarse, 3), feature_global

@@ -1,0 +1,324 @@
+"""PCN-family encoders and FoldingNet-family decoders.
+
+TPU-native rebuild of ``models/pcn.py`` from the reference:
+
+- ``PCN``                 <- reference :186-273 (classic scalar PCN, full model)
+- ``VNPCN``               <- reference :11-108  (VN PCN; dense path is broken
+                             upstream — see class docstring)
+- ``VNPointNet``          <- reference :110-184 (VN encoder used by the best
+                             pretrained pipeline)
+- ``FoldingNet``          <- reference :275-317
+- ``VNFoldingNet``        <- reference :319-389 (seed rotated under rotation aug)
+- ``AttentionVNFoldingNet`` <- reference :392-520 (PoinTr-style two-stage fold)
+
+Encoders take ``xyz`` (B, N, 3) and return ``(coarse, feature_global)``;
+decoders take ``(coarse, feature_global, rot)`` and return the dense cloud.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vn_pointcloudcompletion_tpu.models.common import BatchNormCh, ConvCh, DenseTorch
+from vn_pointcloudcompletion_tpu.nn.attention import VNBlock, to_scalar, to_vn
+from vn_pointcloudcompletion_tpu.nn.vn import (
+    VNLinear,
+    VNLinearAndLeakyReLU,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+)
+from vn_pointcloudcompletion_tpu.ops.fps import fps
+from vn_pointcloudcompletion_tpu.ops.grid import folding_grid_2d, folding_grid_3d
+from vn_pointcloudcompletion_tpu.ops.rotations import rotate_points
+
+
+def _dense_layout(coarse: jnp.ndarray, grid_size: int):
+    """Tile each coarse point over its fold grid, reference ordering.
+
+    coarse (B, Nc, 3) -> point_feat (B, 3, Nc * S) with S = grid_size**2,
+    seeds repeat per coarse point (``models/pcn.py:262-266``).
+    """
+    b, nc, _ = coarse.shape
+    s = grid_size * grid_size
+    point_feat = jnp.broadcast_to(coarse[:, :, None, :], (b, nc, s, 3))
+    return point_feat.reshape(b, nc * s, 3).transpose(0, 2, 1)
+
+
+class PCN(nn.Module):
+    """Classic scalar PCN (reference ``models/pcn.py:186-273``)."""
+
+    num_dense: int = 16384
+    latent_dim: int = 1024
+    grid_size: int = 4
+    only_coarse: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, rot=None, train: bool = False):
+        b, n, _ = xyz.shape
+        num_coarse = self.num_dense // (self.grid_size**2)
+        x = xyz.transpose(0, 2, 1)  # (B, 3, N)
+
+        f = ConvCh(128, name="first_conv_0")(x)
+        f = BatchNormCh(name="first_bn")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(256, name="first_conv_1")(f)
+        g = jnp.max(f, axis=2, keepdims=True)  # (B, 256, 1)
+        f = jnp.concatenate([jnp.broadcast_to(g, f.shape), f], axis=1)
+        f = ConvCh(512, name="second_conv_0")(f)
+        f = BatchNormCh(name="second_bn")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(self.latent_dim, name="second_conv_1")(f)
+        feature_global = jnp.max(f, axis=2)  # (B, latent)
+
+        h = nn.relu(DenseTorch(1024, name="mlp_0")(feature_global))
+        h = nn.relu(DenseTorch(1024, name="mlp_1")(h))
+        coarse = DenseTorch(3 * num_coarse, name="mlp_2")(h).reshape(b, num_coarse, 3)
+
+        if self.only_coarse:
+            return coarse, None
+
+        point_feat = _dense_layout(coarse, self.grid_size)  # (B, 3, Nd)
+        seed = folding_grid_2d(self.grid_size)  # (2, S)
+        seed = jnp.broadcast_to(
+            seed[None, :, None, :], (b, 2, num_coarse, self.grid_size**2)
+        ).reshape(b, 2, self.num_dense)
+        glob = jnp.broadcast_to(
+            feature_global[:, :, None], (b, self.latent_dim, self.num_dense)
+        )
+        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
+
+        f = ConvCh(512, name="final_conv_0")(feat)
+        f = BatchNormCh(name="final_bn_0")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(512, name="final_conv_1")(f)
+        f = BatchNormCh(name="final_bn_1")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(3, name="final_conv_2")(f)
+        fine = f + point_feat
+        return coarse, fine.transpose(0, 2, 1)
+
+
+class _VNPointNetTrunk(nn.Module):
+    """Shared VN-PCN encoder trunk (reference ``models/pcn.py:35-65,132-162``)."""
+
+    latent_dim: int = 1024
+    num_coarse: int = 1024
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        b, n, _ = xyz.shape
+        x = xyz.transpose(0, 2, 1)[:, None]  # (B, 1, 3, N)
+
+        f = VNLinearLeakyReLU(128, name="first_conv_0")(x, train=train)
+        f = VNLinear(512, name="first_conv_1")(f)  # (B, 512, 3, N)
+        g = VNMaxPool(name="maxpool1")(f)[..., None]  # (B, 512, 3, 1)
+        f = jnp.concatenate(
+            [jnp.broadcast_to(g, (b, 512, 3, n)), f], axis=1
+        )  # (B, 1024, 3, N)
+        f = VNLinearLeakyReLU(1024, name="second_conv_0")(f, train=train)
+        f = VNLinear(self.latent_dim * 2, name="second_conv_1")(f)
+        feature_global = VNMaxPool(name="maxpool2")(f)[..., None]  # (B, 2L, 3, 1)
+
+        h = VNLinearAndLeakyReLU(2048, use_batchnorm="none", name="mlp_0")(
+            feature_global, train=train
+        )
+        h = VNLinearAndLeakyReLU(1024, use_batchnorm="none", name="mlp_1")(
+            h, train=train
+        )
+        coarse = VNLinear(self.num_coarse, name="mlp_2")(h)  # (B, Nc, 3, 1)
+        coarse = coarse.reshape(b, self.num_coarse, 3)
+        return coarse, feature_global
+
+
+class VNPointNet(nn.Module):
+    """VN encoder for PCNNet (reference ``models/pcn.py:110-184``).
+
+    With ``num_coarse == 448`` the encoder predicts 224 points and appends
+    FPS(input, 224), returning ``((coarse_224, coarse_448), feature_global)``
+    (reference :179-182).
+    """
+
+    num_coarse: int = 1024
+    latent_dim: int = 1024  # reference default; feature_global gets 2x this
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
+        coarse, feature_global = _VNPointNetTrunk(
+            self.latent_dim, nc, name="trunk"
+        )(xyz, train=train)
+        if nc == 224:
+            inp_sparse = fps(xyz, 224)
+            coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
+            return (coarse, coarse_cat), feature_global
+        return coarse, feature_global
+
+
+class VNPCN(nn.Module):
+    """Standalone VN-PCN (reference ``models/pcn.py:11-108``).
+
+    The reference's dense path is broken upstream (its 5-D ``feature_global``
+    hits a 3-arg ``expand`` at :103 and the scalar ``final_conv`` channel
+    count never matches), so like the reference in practice this model is
+    coarse-only; the dense pipeline lives in VNPointNet + VNFoldingNet.
+    """
+
+    num_dense: int = 16384
+    latent_dim: int = 1024
+    grid_size: int = 4
+    only_coarse: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, rot=None, train: bool = False):
+        if not self.only_coarse:
+            raise NotImplementedError(
+                "VNPCN dense path is broken in the reference (models/pcn.py:97-108); "
+                "use VNPointNet + VNFoldingNet via PCNNet instead"
+            )
+        coarse, feature_global = _VNPointNetTrunk(
+            self.latent_dim, 1024, name="trunk"
+        )(xyz, train=train)
+        return coarse, feature_global
+
+
+class FoldingNet(nn.Module):
+    """Scalar folding decoder (reference ``models/pcn.py:275-317``).
+
+    Expects ``feature_global`` flattened from a VN latent: channel count is
+    2048*3 + 3 + 2 (reference :290).
+    """
+
+    num_coarse: int = 1024
+
+    @nn.compact
+    def __call__(self, coarse, feature_global, rot=None, train: bool = False):
+        if self.num_coarse == 448:
+            nc, num_dense, grid_size = 224, 14336, 8
+        else:
+            nc, num_dense, grid_size = self.num_coarse, 16384, 4
+        b = coarse.shape[0]
+        feature_global = feature_global.reshape(b, -1)
+
+        point_feat = _dense_layout(coarse, grid_size)
+        seed = folding_grid_2d(grid_size)
+        seed = jnp.broadcast_to(
+            seed[None, :, None, :], (b, 2, nc, grid_size**2)
+        ).reshape(b, 2, num_dense)
+        glob = jnp.broadcast_to(
+            feature_global[:, :, None], feature_global.shape + (num_dense,)
+        )
+        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
+
+        f = ConvCh(512, name="final_conv_0")(feat)
+        f = BatchNormCh(name="final_bn_0")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(512, name="final_conv_1")(f)
+        f = BatchNormCh(name="final_bn_1")(f, train=train)
+        f = nn.relu(f)
+        f = ConvCh(3, name="final_conv_2")(f)
+        fine = f + point_feat
+        return fine.transpose(0, 2, 1)
+
+
+class VNFoldingNet(nn.Module):
+    """VN folding decoder (reference ``models/pcn.py:319-389``).
+
+    The 3-D folding seed (z=0 plane) is rotated by the augmentation rotation
+    when present (reference :367-370) so the decoder stays consistent with the
+    rotated encoder output.
+    """
+
+    num_coarse: int = 1024
+    latent_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, coarse, feature_global, rot=None, train: bool = False):
+        if self.num_coarse == 448:
+            nc, num_dense, grid_size = 224, 14336, 8
+        else:
+            nc, num_dense, grid_size = self.num_coarse, 16384, 4
+        b = coarse.shape[0]
+        s = grid_size * grid_size
+
+        seed = folding_grid_3d(grid_size)  # (3, S)
+        if rot is not None:
+            seed = rotate_points(seed.T, rot)  # (B, S, 3)
+            seed = seed.transpose(0, 2, 1)[:, None]  # (B, 1, 3, S)
+        else:
+            seed = jnp.broadcast_to(seed[None, None], (b, 1, 3, s))
+
+        # (B, 1, 3, Nc*S): for each coarse point, its grid of seeds
+        seed = jnp.broadcast_to(seed[:, :, :, None, :], (b, 1, 3, nc, s))
+        seed = seed.reshape(b, 1, 3, num_dense)
+
+        point_feat = _dense_layout(coarse, grid_size)[:, None]  # (B, 1, 3, Nd)
+        glob = jnp.broadcast_to(
+            feature_global, feature_global.shape[:3] + (num_dense,)
+        )  # (B, latent, 3, Nd)
+        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
+
+        f = VNLinearLeakyReLU(256, name="final_conv_0")(feat, train=train)
+        f = VNLinearLeakyReLU(256, name="final_conv_1")(f, train=train)
+        f = VNLinear(1, name="final_conv_2")(f)  # (B, 1, 3, Nd)
+        fine = f + point_feat
+        return fine[:, 0].transpose(0, 2, 1)  # (B, Nd, 3)
+
+
+class AttentionVNFoldingNet(nn.Module):
+    """Transformer + two-stage VN fold (reference ``models/pcn.py:392-520``).
+
+    Runs 2 VN blocks over per-centre features (global latent + repeated
+    centre), then folds a [-1, 1] grid around each centre PoinTr-style:
+    ``rebuild = relative_xyz + coarse`` (reference :491-492).
+
+    Note: the reference's ``repeat_input_centers`` reshape (:466) scrambles
+    the (N, 3) axes into channels; replicated verbatim for parity.
+    """
+
+    num_coarse: int = 1024
+    latent_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, coarse, feature_global, rot=None, train: bool = False):
+        b, n, _ = coarse.shape
+        grid_size = 8 if self.num_coarse == 448 else 4
+        s = grid_size * grid_size
+
+        # (B, 384, N, 3) -> (B, 1152, N) — reference's exact (scrambling) reshape
+        repeat_centers = jnp.broadcast_to(coarse[:, None], (b, 384, n, 3))
+        repeat_centers = repeat_centers.reshape(b, 384 * 3, n).transpose(0, 2, 1)
+
+        fg = VNLinear(384, name="downsize_global")(feature_global)  # (B, 384, 3, 1)
+        fg = jnp.broadcast_to(fg, (b, 384, 3, n)).reshape(b, 1152, n).transpose(0, 2, 1)
+        x = fg + repeat_centers  # (B, N, 1152) scalar layout
+
+        vn_x = to_vn(x)  # (B, 384, 3, N)
+        for i in range(2):
+            vn_x = VNBlock(
+                channels=384, attn_channels=384, num_heads=8, qk_scale=1.0,
+                name=f"transformer_{i}",
+            )(vn_x, train=train)
+
+        # fold per centre: features (B*N, 384, 3, S)
+        feat = vn_x.transpose(0, 3, 1, 2).reshape(b * n, 384, 3, 1)
+        feat = jnp.broadcast_to(feat, (b * n, 384, 3, s))
+        seed = folding_grid_3d(grid_size, extent=1.0)  # (3, S)
+        seed = jnp.broadcast_to(seed[None, None], (b * n, 1, 3, s))
+
+        h = jnp.concatenate([seed, feat], axis=1)
+        h = VNLinearLeakyReLU(256, name="vn_folding1_0")(h, train=train)
+        h = VNLinearLeakyReLU(128, name="vn_folding1_1")(h, train=train)
+        fd1 = VNLinear(1, name="vn_folding1_2")(h)  # (B*N, 1, 3, S)
+
+        h = jnp.concatenate([fd1, feat], axis=1)
+        h = VNLinearLeakyReLU(256, name="vn_folding2_0")(h, train=train)
+        h = VNLinearLeakyReLU(128, name="vn_folding2_1")(h, train=train)
+        fd2 = VNLinear(1, name="vn_folding2_2")(h)  # (B*N, 1, 3, S)
+
+        relative_xyz = fd2.reshape(b, n, 3, s)
+        rebuild = relative_xyz + coarse[..., None]  # (B, N, 3, S)
+        return rebuild.transpose(0, 1, 3, 2).reshape(b, n * s, 3)
