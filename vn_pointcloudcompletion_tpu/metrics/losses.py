@@ -1,0 +1,108 @@
+"""Training losses (reference ``metrics/loss.py`` + ``utils/loss.py``).
+
+- ``cd_loss_l1`` / ``cd_loss_l2``  <- metrics/loss.py:20-43
+- ``emd_loss``                     <- metrics/loss.py:46-55
+- ``calc_cd``                      <- metrics/loss.py:58-75
+- ``calc_dcd`` (density-aware CD)  <- metrics/loss.py:77-118 (dup utils/loss.py)
+- ``fscore_from_dists``            <- extensions/ChamferDistancePytorch/fscore.py:3-16
+
+All jit-able and batched; DCD's per-batch python bincount loop becomes one
+vmapped scatter-add.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vn_pointcloudcompletion_tpu.ops.chamfer import chamfer_distance
+from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance
+
+
+def cd_loss_l1(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
+    """L1 Chamfer: (mean sqrt d1 + mean sqrt d2) / 2."""
+    d1, d2, _, _ = chamfer_distance(pcs1, pcs2)
+    return (jnp.mean(jnp.sqrt(d1)) + jnp.mean(jnp.sqrt(d2))) / 2.0
+
+
+def cd_loss_l2(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
+    """L2 Chamfer: mean d1 + mean d2."""
+    d1, d2, _, _ = chamfer_distance(pcs1, pcs2)
+    return jnp.mean(d1) + jnp.mean(d2)
+
+
+def emd_loss(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
+    """Mean approx-EMD cost over the batch."""
+    return jnp.mean(earth_mover_distance(pcs1, pcs2))
+
+
+def fscore_from_dists(dist1, dist2, threshold=1e-4):
+    """F-score on *squared* distances (fscore.py:3-16)."""
+    precision_1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+    precision_2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+    f = 2 * precision_1 * precision_2 / (precision_1 + precision_2)
+    f = jnp.where(precision_1 + precision_2 == 0, 0.0, f)
+    return f, precision_1, precision_2
+
+
+def calc_cd(output, gt, calc_f1=False, return_raw=False, separate=False):
+    """Per-sample CD stats (metrics/loss.py:58-75).
+
+    NOTE the reference's argument order: distances are computed as
+    ``chamfer(gt, output)`` — dist1 is over gt points.
+    """
+    dist1, dist2, idx1, idx2 = chamfer_distance(gt, output)
+    cd_p = (jnp.sqrt(dist1).mean(axis=1) + jnp.sqrt(dist2).mean(axis=1)) / 2
+    cd_t = dist1.mean(axis=1) + dist2.mean(axis=1)
+    if separate:
+        res = [
+            jnp.stack([jnp.sqrt(dist1).mean(1), jnp.sqrt(dist2).mean(1)]),
+            jnp.stack([dist1.mean(1), dist2.mean(1)]),
+        ]
+    else:
+        res = [cd_p, cd_t]
+    if calc_f1:
+        f1, _, _ = fscore_from_dists(dist1, dist2, 1e-4)
+        res.append(f1)
+    if return_raw:
+        res.extend([dist1, dist2, idx1, idx2])
+    return res
+
+
+def calc_dcd(x, gt, alpha=1000, n_lambda=1, return_raw=False, non_reg=False):
+    """Density-aware Chamfer distance (metrics/loss.py:77-118).
+
+    Per-point weights are inverse nearest-neighbour assignment counts,
+    ``loss = mean(1 - weight * exp(-alpha * d))`` in both directions.
+    """
+    x = x.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    n_x, n_gt = x.shape[1], gt.shape[1]
+    if non_reg:
+        frac_12 = max(1.0, n_x / n_gt)
+        frac_21 = max(1.0, n_gt / n_x)
+    else:
+        frac_12 = n_x / n_gt
+        frac_21 = n_gt / n_x
+
+    cd_p, cd_t, dist1, dist2, idx1, idx2 = calc_cd(x, gt, return_raw=True)
+    exp_d1 = jnp.exp(-dist1 * alpha)  # (B, n_gt)
+    exp_d2 = jnp.exp(-dist2 * alpha)  # (B, n_x)
+
+    def side(idx, exp_d, num_bins, frac):
+        def one(idx_b, exp_b):
+            count = jnp.zeros((num_bins,), jnp.float32).at[idx_b].add(1.0)
+            weight = jax.lax.stop_gradient(count[idx_b]) ** n_lambda
+            weight = (weight + 1e-6) ** (-1.0) * frac
+            return jnp.mean(-exp_b * weight + 1.0)
+
+        return jax.vmap(one)(idx, exp_d)
+
+    loss1 = side(idx1, exp_d1, n_x, frac_21)
+    loss2 = side(idx2, exp_d2, n_gt, frac_12)
+    loss = (loss1 + loss2) / 2
+
+    res = [loss, cd_p, cd_t]
+    if return_raw:
+        res.extend([dist1, dist2, idx1, idx2])
+    return res

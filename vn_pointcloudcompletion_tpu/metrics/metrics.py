@@ -1,0 +1,71 @@
+"""Evaluation metrics (reference ``metrics/metric.py`` + ``utils/voxel_util.py``).
+
+- ``l1_cd`` / ``l2_cd``: batch *sums* of per-sample CD — the reference divides
+  by dataset size in the eval loop (metrics/metric.py:12-23, train.py:240-242).
+- ``emd_sum``: batch sum of approx EMD (metrics/metric.py:26-28).
+- ``f_score``: threshold 0.01 on euclidean (not squared) distances
+  (metrics/metric.py:31-48) — jit-able, replacing the per-sample open3d loop.
+- ``voxel_iou``: 64^3 occupancy IoU (utils/voxel_util.py:6-19), replacing
+  PyntCloud with a scatter into a cubic regular bounding box.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vn_pointcloudcompletion_tpu.ops.chamfer import chamfer_distance
+from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance
+
+
+def l2_cd(pcs1, pcs2):
+    d1, d2, _, _ = chamfer_distance(pcs1, pcs2)
+    return jnp.sum(d1.mean(axis=1) + d2.mean(axis=1))
+
+
+def l1_cd(pcs1, pcs2):
+    d1, d2, _, _ = chamfer_distance(pcs1, pcs2)
+    return jnp.sum(jnp.sqrt(d1).mean(axis=1) + jnp.sqrt(d2).mean(axis=1)) / 2
+
+
+def emd_sum(pcs1, pcs2):
+    return jnp.sum(earth_mover_distance(pcs1, pcs2))
+
+
+def f_score(pred, gt, threshold: float = 0.01):
+    """Per-sample F-score at a euclidean distance threshold. (B, N, 3) -> (B,)."""
+    d1, d2, _, _ = chamfer_distance(pred, gt)
+    precision = jnp.mean((jnp.sqrt(d1) < threshold).astype(jnp.float32), axis=1)
+    recall = jnp.mean((jnp.sqrt(d2) < threshold).astype(jnp.float32), axis=1)
+    denom = precision + recall
+    f = 2 * precision * recall / jnp.where(denom == 0, 1.0, denom)
+    return jnp.where(denom == 0, 0.0, f)
+
+
+def points_to_voxels(points: jnp.ndarray, size_grid: int = 64) -> jnp.ndarray:
+    """Occupancy voxelisation in a per-cloud cubic bounding box.
+
+    Mirrors PyntCloud's regular (cube) voxelgrid: the bounding box is expanded
+    symmetrically on the short axes so every side has equal length, then
+    points scatter into an n^3 boolean grid.  points: (N, 3) -> (n, n, n).
+    """
+    pts = points.astype(jnp.float32)
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    side = jnp.max(hi - lo)
+    center = (hi + lo) / 2
+    lo_c = center - side / 2
+    rel = (pts - lo_c) / jnp.where(side == 0, 1.0, side)
+    idx = jnp.clip((rel * size_grid).astype(jnp.int32), 0, size_grid - 1)
+    flat = (idx[:, 0] * size_grid + idx[:, 1]) * size_grid + idx[:, 2]
+    grid = jnp.zeros((size_grid**3,), jnp.bool_).at[flat].set(True)
+    return grid.reshape(size_grid, size_grid, size_grid)
+
+
+def voxel_iou(pred_pc: jnp.ndarray, gt_pc: jnp.ndarray, size_grid: int = 64):
+    """IoU of occupancy grids (utils/voxel_util.py:6-19). (N,3),(M,3) -> scalar."""
+    pv = points_to_voxels(pred_pc, size_grid)
+    gv = points_to_voxels(gt_pc, size_grid)
+    inter = jnp.sum(jnp.logical_and(pv, gv))
+    union = jnp.sum(jnp.logical_or(pv, gv))
+    return inter / jnp.maximum(union, 1)
