@@ -1,0 +1,146 @@
+"""Data pipeline tests: PLY IO, list parsing, batching, synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vn_pointcloudcompletion_tpu.data import (
+    BatchLoader,
+    ShapeNetPCN,
+    SyntheticCompletionDataset,
+    read_ply_points,
+    write_ply_points,
+    device_prefetch,
+)
+from vn_pointcloudcompletion_tpu.data.shapenet import random_sample
+
+
+class TestPly:
+    def test_roundtrip_binary(self, tmp_path, rng):
+        pts = rng.standard_normal((100, 3)).astype(np.float32)
+        p = str(tmp_path / "a.ply")
+        write_ply_points(p, pts)
+        out = read_ply_points(p)
+        np.testing.assert_array_equal(out, pts)
+
+    def test_ascii_with_extra_props(self, tmp_path):
+        p = str(tmp_path / "b.ply")
+        with open(p, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\nelement vertex 2\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\n"
+                "end_header\n"
+                "1.0 2.0 3.0 255\n4.0 5.0 6.0 0\n"
+            )
+        out = read_ply_points(p)
+        np.testing.assert_allclose(out, [[1, 2, 3], [4, 5, 6]])
+
+    def test_binary_extra_props(self, tmp_path, rng):
+        # interleaved normals must be skipped correctly
+        p = str(tmp_path / "c.ply")
+        data = np.zeros(5, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                                   ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")])
+        xyz = rng.standard_normal((5, 3)).astype(np.float32)
+        data["x"], data["y"], data["z"] = xyz.T
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat binary_little_endian 1.0\nelement vertex 5\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"property float nx\nproperty float ny\nproperty float nz\n"
+                b"end_header\n" + data.tobytes()
+            )
+        np.testing.assert_allclose(read_ply_points(p), xyz)
+
+
+class TestShapeNet:
+    def _make_dataset(self, root, split, n_models=3):
+        lines = []
+        rng = np.random.default_rng(0)
+        for i in range(n_models):
+            cat, mid = "02691156", f"model{i}"
+            lines.append(f"{cat}/{mid}")
+            os.makedirs(os.path.join(root, split, "partial", cat), exist_ok=True)
+            os.makedirs(os.path.join(root, split, "complete", cat), exist_ok=True)
+            if split == "train":
+                for v in range(8):
+                    write_ply_points(
+                        os.path.join(root, split, "partial", cat, f"{mid}_{v}.ply"),
+                        rng.standard_normal((500, 3)).astype(np.float32),
+                    )
+            else:
+                write_ply_points(
+                    os.path.join(root, split, "partial", cat, f"{mid}.ply"),
+                    rng.standard_normal((500, 3)).astype(np.float32),
+                )
+            write_ply_points(
+                os.path.join(root, split, "complete", cat, f"{mid}.ply"),
+                rng.standard_normal((20000, 3)).astype(np.float32),
+            )
+        with open(os.path.join(root, f"{split}.list"), "w") as f:
+            f.write("\n".join(lines))
+
+    def test_train_split_shapes(self, tmp_path):
+        root = str(tmp_path)
+        self._make_dataset(root, "train")
+        ds = ShapeNetPCN(root, "train", "airplane")
+        assert len(ds) == 3
+        p, c = ds[0]
+        assert p.shape == (2048, 3) and c.shape == (16384, 3)
+
+    def test_category_filter(self, tmp_path):
+        root = str(tmp_path)
+        self._make_dataset(root, "valid")
+        ds_all = ShapeNetPCN(root, "valid", "all")
+        ds_cat = ShapeNetPCN(root, "valid", "airplane")
+        ds_none = ShapeNetPCN(root, "valid", "car")
+        assert len(ds_all) == 3 and len(ds_cat) == 3 and len(ds_none) == 0
+
+    def test_process_sharding(self, tmp_path):
+        root = str(tmp_path)
+        self._make_dataset(root, "valid", n_models=4)
+        d0 = ShapeNetPCN(root, "valid", process_index=0, process_count=2)
+        d1 = ShapeNetPCN(root, "valid", process_index=1, process_count=2)
+        assert len(d0) == 2 and len(d1) == 2
+        assert set(d0.complete_paths).isdisjoint(d1.complete_paths)
+
+
+class TestSampling:
+    def test_random_sample_pads_short_clouds(self, rng):
+        pc = rng.standard_normal((10, 3)).astype(np.float32)
+        out = random_sample(pc, 64, rng)
+        assert out.shape == (64, 3)
+        # all sampled points come from the original cloud
+        assert all(any(np.allclose(o, p) for p in pc) for o in out[:20])
+
+
+class TestLoader:
+    def test_batch_loader_epoch(self):
+        ds = SyntheticCompletionDataset(num_samples=10, n_partial=64, n_complete=128)
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2  # drop_last
+        p, c = batches[0]
+        assert p.shape == (4, 64, 3) and c.shape == (4, 128, 3)
+
+    def test_shuffle_reproducible_across_epochs(self):
+        ds = SyntheticCompletionDataset(num_samples=8, n_partial=16, n_complete=32)
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=1)
+        loader.set_epoch(0)
+        a = [p.sum() for p, _ in loader]
+        loader.set_epoch(0)
+        b = [p.sum() for p, _ in loader]
+        loader.set_epoch(1)
+        c = [p.sum() for p, _ in loader]
+        assert a == b
+        assert a != c
+
+    def test_device_prefetch(self):
+        ds = SyntheticCompletionDataset(num_samples=8, n_partial=16, n_complete=32)
+        loader = BatchLoader(ds, batch_size=4, num_workers=1)
+        n = 0
+        for p, c in device_prefetch(loader):
+            assert p.shape == (4, 16, 3)
+            n += 1
+        assert n == 2
