@@ -1,0 +1,102 @@
+"""Checkpoint / resume at epoch granularity (reference train.py:72-87,252-277).
+
+One serialized pytree per file, reference directory layout preserved:
+``<exp_dir>/models/model_{best,last}.ckpt`` holds {params, batch_stats};
+``<exp_dir>/optimizer/optim_{best,last}.ckpt`` holds
+{epoch, optim_state_dict, best_metrics, best_epoch}.
+
+Writes are atomic (tmp + rename) so a crash mid-save can always resume from
+the previous epoch — the reference's failure model (SURVEY.md §5).
+Encoder-subtree loading for ``enc_pretrained`` (model.py:29-39) restores just
+``params['encoder']`` non-strictly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import numpy as np
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(exp_dir: str, state, epoch: int, best_metrics: float,
+                    best_epoch: int, name: str) -> None:
+    model_blob = flax.serialization.msgpack_serialize(
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+    )
+    optim_blob = flax.serialization.msgpack_serialize(
+        {
+            "epoch": epoch,
+            "optim_state_dict": flax.serialization.to_state_dict(
+                jax.device_get(state.opt_state)
+            ),
+            "step": int(state.step),
+            "best_metrics": float(best_metrics),
+            "best_epoch": int(best_epoch),
+        }
+    )
+    _atomic_write(os.path.join(exp_dir, "models", f"model_{name}.ckpt"), model_blob)
+    _atomic_write(os.path.join(exp_dir, "optimizer", f"optim_{name}.ckpt"), optim_blob)
+
+
+def restore_checkpoint(exp_dir: str, state, name: str = "last"):
+    """Restore (state, epoch, best_metrics, best_epoch); None if absent."""
+    model_path = os.path.join(exp_dir, "models", f"model_{name}.ckpt")
+    optim_path = os.path.join(exp_dir, "optimizer", f"optim_{name}.ckpt")
+    if not (os.path.exists(model_path) and os.path.exists(optim_path)):
+        return None
+    with open(model_path, "rb") as f:
+        model_dict = flax.serialization.msgpack_restore(f.read())
+    with open(optim_path, "rb") as f:
+        optim_dict = flax.serialization.msgpack_restore(f.read())
+    params = flax.serialization.from_state_dict(state.params, model_dict["params"])
+    batch_stats = flax.serialization.from_state_dict(
+        state.batch_stats, model_dict["batch_stats"]
+    )
+    opt_state = flax.serialization.from_state_dict(
+        state.opt_state, optim_dict["optim_state_dict"]
+    )
+    state = state.replace(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=int(optim_dict.get("step", 0)),
+    )
+    return (
+        state,
+        int(optim_dict["epoch"]),
+        float(optim_dict["best_metrics"]),
+        int(optim_dict["best_epoch"]),
+    )
+
+
+def load_pretrained_encoder(state, path: str):
+    """Non-strict encoder-subtree load (reference model.py:29-39)."""
+    with open(path, "rb") as f:
+        blob = flax.serialization.msgpack_restore(f.read())
+    src = blob["params"].get("encoder", blob["params"])
+    params = dict(state.params)
+    params["encoder"] = flax.serialization.from_state_dict(
+        state.params["encoder"], src
+    )
+    new_bs = state.batch_stats
+    if "batch_stats" in blob and "encoder" in (blob["batch_stats"] or {}):
+        bs = dict(state.batch_stats)
+        bs["encoder"] = flax.serialization.from_state_dict(
+            state.batch_stats["encoder"], blob["batch_stats"]["encoder"]
+        )
+        new_bs = bs
+    return state.replace(params=flax.core.freeze(params) if isinstance(
+        state.params, flax.core.FrozenDict) else params, batch_stats=new_bs)

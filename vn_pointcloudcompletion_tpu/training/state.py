@@ -1,0 +1,81 @@
+"""Train state: one pytree holding params, BN stats, and optimiser state.
+
+Replaces the reference's torch Module + Adam object pair (train.py:60-93)
+with a single functional state — the unit of checkpointing and of sharding.
+
+The optimiser is Adam(0.9, 0.999) under a StepLR(50 epochs, gamma 0.8)
+schedule (train.py:70, 93), expressed as an optax step-count schedule (the
+count/steps_per_epoch quotient reproduces the reference's per-epoch decay,
+and survives resume for free since the count lives in ``opt_state``).
+Freezing (``enc_pretrained``/``freeze_encoder``/``freeze_decoder``,
+model.py:29-39, train.py:61-66) is an optax ``multi_transform`` mask —
+functional JAX's equivalent of ``requires_grad=False``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from vn_pointcloudcompletion_tpu.utils.config import Config
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def step_lr_schedule(base_lr: float, steps_per_epoch: int,
+                     step_size_epochs: int = 50, gamma: float = 0.8):
+    """StepLR over epochs, driven by the optax step count."""
+
+    def schedule(count):
+        epoch = count // max(steps_per_epoch, 1)
+        return base_lr * gamma ** (epoch // step_size_epochs)
+
+    return schedule
+
+
+def make_optimizer(config: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    lr = step_lr_schedule(config.lr, steps_per_epoch)
+    adam = optax.adam(lr, b1=0.9, b2=0.999)
+
+    freeze_enc = config.freeze_encoder or config.enc_pretrained != "none"
+    freeze_dec = config.freeze_decoder
+    if not (freeze_enc or freeze_dec):
+        return adam
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if freeze_enc and top == "encoder":
+            return "frozen"
+        if freeze_dec and top == "decoder":
+            return "frozen"
+        return "trainable"
+
+    def label_tree(params):
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"trainable": adam, "frozen": optax.set_to_zero()}, label_tree
+    )
+
+
+def create_train_state(
+    model,
+    config: Config,
+    steps_per_epoch: int,
+    rng: jax.Array,
+    sample_input: jnp.ndarray,
+) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
+    )

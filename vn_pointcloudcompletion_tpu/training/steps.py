@@ -1,0 +1,98 @@
+"""Jitted train/eval steps — the hot loop (reference train.py:127-186,205-250).
+
+Everything inside one XLA program per step: rotation augmentation (sampled
+from the step PRNG key), forward, loss, backward, Adam update, and BN stat
+update.  The input batch buffers are donated so XLA reuses their HBM.
+
+Rotation augmentation applies the *same* rotation to partial and complete
+clouds and forwards it to the decoder for seed rotation (train.py:130-143).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vn_pointcloudcompletion_tpu.metrics.losses import (
+    calc_dcd,
+    cd_loss_l1,
+    emd_loss,
+)
+from vn_pointcloudcompletion_tpu.metrics.metrics import l1_cd
+from vn_pointcloudcompletion_tpu.ops.rotations import rotate_points, sample_rotation
+from vn_pointcloudcompletion_tpu.utils.config import Config
+
+
+def _coarse_loss(config: Config, coarse, complete):
+    if config.coarse_loss == "cd":
+        return cd_loss_l1(coarse, complete)
+    if config.coarse_loss == "emd":
+        # EMD needs equal counts: reference truncates gt to 1024 (train.py:149)
+        return emd_loss(coarse, complete[:, : coarse.shape[1], :])
+    if config.coarse_loss == "dcd":
+        alpha = config.dcd_opts.get("alpha", 200)
+        n_lambda = config.dcd_opts.get("lambda", 0.5)
+        loss, _, _ = calc_dcd(coarse, complete, alpha=alpha, n_lambda=n_lambda)
+        return loss.mean()
+    raise ValueError(f"Not implemented loss {config.coarse_loss}")
+
+
+def make_train_step(config: Config, jit: bool = True):
+    """Build the jitted train step for a given static config."""
+
+    def train_step(state, partial, complete, rng):
+        rot = sample_rotation(rng, config.rotation, partial.shape[0])
+        if rot is not None:
+            partial = rotate_points(partial, rot)
+            complete = rotate_points(complete, rot)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (coarse, fine), mutated = state.apply_fn(
+                variables, partial, rot, train=True, mutable=["batch_stats"]
+            )
+            loss1 = _coarse_loss(config, coarse, complete)
+            if config.only_coarse:
+                loss2 = jnp.zeros(())
+                loss = loss1
+            else:
+                loss2 = cd_loss_l1(fine, complete)
+                loss = loss1 + loss2
+            return loss, (loss1, loss2, mutated)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss1, loss2, mutated)), grads = grad_fn(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=mutated["batch_stats"]
+        )
+        metrics = {"total": loss, "coarse": loss1, "dense": loss2}
+        return state, metrics
+
+    if jit:
+        return jax.jit(train_step, donate_argnums=(1, 2))
+    return train_step
+
+
+def make_eval_step(config: Config, jit: bool = True):
+    """Validation step: l1_cd sums for coarse/dense (train.py:205-226)."""
+
+    def eval_step(state, partial, complete, rng):
+        rot = sample_rotation(rng, config.val_rotation, partial.shape[0])
+        if rot is not None:
+            partial = rotate_points(partial, rot)
+            complete = rotate_points(complete, rot)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        coarse, fine = state.apply_fn(variables, partial, rot, train=False)
+        out = {"coarse_sum": l1_cd(coarse, complete)}
+        if not config.only_coarse:
+            out["dense_sum"] = l1_cd(fine, complete)
+        else:
+            out["dense_sum"] = jnp.zeros(())
+        return out, (partial, coarse, fine, complete)
+
+    if jit:
+        return jax.jit(eval_step)
+    return eval_step

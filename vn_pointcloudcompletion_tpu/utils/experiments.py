@@ -1,0 +1,84 @@
+"""Experiment directory management + logging (reference ``utils/experiments.py``).
+
+Creates ``<OUTPUT_DIR>/MM-DD_<name>_NNN/{models,optimizer,visualizations,
+train,val}`` run dirs with auto-incremented run numbers (reference :103-171)
+and attaches per-run file handlers to the named loggers (reference :52-87).
+"""
+
+from __future__ import annotations
+
+import logging
+import logging.config
+import os
+from datetime import datetime
+from typing import List, Optional
+
+from vn_pointcloudcompletion_tpu.utils.config import Config, output_dir
+
+LOGGING_CONFIG = {
+    "version": 1,
+    "disable_existing_loggers": False,
+    "formatters": {
+        "standard": {
+            "format": "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+        }
+    },
+    "handlers": {
+        "console": {
+            "class": "logging.StreamHandler",
+            "formatter": "standard",
+            "level": "INFO",
+        }
+    },
+    "loggers": {
+        "train": {"handlers": ["console"], "level": "INFO", "propagate": False},
+        "dataset": {"handlers": ["console"], "level": "INFO", "propagate": False},
+        "test": {"handlers": ["console"], "level": "INFO", "propagate": False},
+    },
+}
+
+
+def configure_logging() -> None:
+    logging.config.dictConfig(LOGGING_CONFIG)
+
+
+def setup_loggers(command: str, log_path: Optional[str] = None,
+                  logger_names: Optional[List[str]] = None) -> None:
+    """Attach a file handler to the named loggers (reference :52-87)."""
+    if log_path is None:
+        log_path = (
+            f"./logs/{command}/{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.log"
+        )
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    handler = logging.FileHandler(filename=log_path)
+    handler.setLevel("DEBUG")
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    )
+    for name in logger_names or [command]:
+        logging.getLogger(name).addHandler(handler)
+
+
+def create_experiment(config: Config) -> Config:
+    """Create the next ``MM-DD_<name>_NNN`` run dir (reference :103-171)."""
+    experiment_name = f"{datetime.now().strftime('%m-%d')}_{config.name}"
+    out = output_dir()
+    os.makedirs(out, exist_ok=True)
+
+    prev = [-1]
+    for entry in os.listdir(out):
+        if entry[:-4] == experiment_name:  # strips "_NNN"
+            try:
+                prev.append(int(entry[len(experiment_name) + 1 :]))
+            except ValueError:
+                pass
+    num = max(prev) + 1
+
+    run_name = f"{experiment_name}_{num:03d}"
+    exp_dir = os.path.join(out, run_name)
+    for sub in ("", "models", "optimizer", "visualizations", "train", "val"):
+        os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+
+    config.run_name = run_name
+    config.exp_dir = exp_dir
+    return config

@@ -1,0 +1,52 @@
+"""Point-cloud visualisation (reference ``visualization/visualization.py:12-32``).
+
+One row of 3-D scatter panels (Input / Coarse / Dense / Ground Truth) written
+as a PNG per validation epoch.  Matplotlib only; runs host-side outside jit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def plot_pcd_one_view(
+    filename: str,
+    pcds: Sequence[np.ndarray],
+    titles: Sequence[str],
+    suptitle: str = "",
+    sizes: Optional[List[float]] = None,
+    cmap: str = "Reds",
+    zdir: str = "y",
+    xlim=(-0.3, 0.3),
+    ylim=(-0.3, 0.3),
+    zlim=(-0.3, 0.3),
+):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if sizes is None:
+        sizes = [0.5 for _ in pcds]
+    fig = plt.figure(figsize=(len(pcds) * 3, 3))
+    for i, (pcd, title) in enumerate(zip(pcds, titles)):
+        pcd = np.asarray(pcd)
+        color = pcd[:, 0]
+        ax = fig.add_subplot(1, len(pcds), i + 1, projection="3d")
+        ax.view_init(30, -120)
+        ax.scatter(
+            pcd[:, 0], pcd[:, 1], pcd[:, 2], zdir=zdir, c=color, s=sizes[i],
+            cmap=cmap, vmin=-1.0, vmax=0.5,
+        )
+        ax.set_title(title)
+        ax.set_axis_off()
+        ax.set_xlim(xlim)
+        ax.set_ylim(ylim)
+        ax.set_zlim(zlim)
+    if suptitle:
+        fig.suptitle(suptitle)
+    fig.tight_layout()
+    fig.savefig(filename, dpi=120)
+    plt.close(fig)
