@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: completions/sec/chip on the flagship pipeline at 16384 points.
+
+Measures the full jitted training step (forward + Chamfer losses + backward +
+Adam update) of vn_pointnet + vn_foldingnet on synthetic data resident in
+HBM, which is the BASELINE.json headline metric.  Prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.json "published": {}), so
+``vs_baseline`` is null; the recorded value tracks round-over-round progress.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_train_step(batch_size: int = 16, iters: int = 20, warmup: int = 3):
+    from vn_pointcloudcompletion_tpu.models.composer import build_model
+    from vn_pointcloudcompletion_tpu.training.state import create_train_state
+    from vn_pointcloudcompletion_tpu.training.steps import make_train_step
+    from vn_pointcloudcompletion_tpu.utils.config import Config
+
+    config = Config.from_dict(
+        dict(
+            enc_type="vn_pointnet", dec_type="vn_foldingnet",
+            num_coarse=1024, latent_dim=2048, only_coarse=False,
+            batch_size=batch_size, lr=1e-4, rotation="so3",
+        )
+    )
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    partial = jnp.asarray(rng.standard_normal((batch_size, 2048, 3)), jnp.float32) * 0.2
+    complete = jnp.asarray(
+        rng.standard_normal((batch_size, 16384, 3)), jnp.float32) * 0.2
+
+    state = create_train_state(model, config, 100, jax.random.key(0), partial)
+    # non-donated bench step so the same buffers can be reused every iter
+    step_fn = make_train_step(config, jit=False)
+    step = jax.jit(step_fn)
+
+    key = jax.random.key(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, partial, complete, k)
+    float(metrics["total"])  # device->host read: the only reliable sync here
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, partial, complete, k)
+    # all iters chain through `state`; one forced host read syncs the lot
+    float(metrics["total"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    completions_per_sec = steps_per_sec * batch_size
+    return completions_per_sec, steps_per_sec
+
+
+def main():
+    completions_per_sec, steps_per_sec = bench_train_step()
+    print(
+        json.dumps(
+            {
+                "metric": "train_completions_per_sec_per_chip_16384pts",
+                "value": round(completions_per_sec, 3),
+                "unit": "completions/s/chip",
+                "vs_baseline": None,
+                "detail": {
+                    "steps_per_sec": round(steps_per_sec, 4),
+                    "pipeline": "vn_pointnet+vn_foldingnet train step (fwd+cd losses+bwd+adam, so3 aug)",
+                    "batch_size": 16,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

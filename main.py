@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""CLI entry point (reference ``main.py:23-123``).
+
+Subcommands ``train`` / ``overfit`` / ``test``; flags ``-n/--name``,
+``--resume``, ``--ckpt_path``, ``-from/--from_epoch``, ``-epochs``.
+``.env`` supplies OUTPUT_DIR / DATA_PATH before config loading, exactly like
+the reference's pre-import dotenv (main.py:10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _load_dotenv(path: str = ".env") -> None:
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            os.environ.setdefault(key.strip(), value.strip().strip('"').strip("'"))
+
+
+def main(argv=None):
+    _load_dotenv()
+
+    parser = argparse.ArgumentParser("vn_pointcloudcompletion_tpu")
+    parser.add_argument("-n", "--name", type=str, default=None,
+                        help="experiment name (resume: experiment dir name)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume training from the named experiment")
+    parser.add_argument("--ckpt_path", type=str, default=None,
+                        help="path of a pretrained model checkpoint")
+    parser.add_argument("-from", "--from_epoch", type=int, default=0,
+                        help="checkpoint epoch to branch a new run from")
+    parser.add_argument("-epochs", "--epochs", type=int, default=None,
+                        help="override max epochs")
+    parser.add_argument("--save", action="store_true",
+                        help="test: export predicted clouds as .ply")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="data-parallel over N devices (0 = all available)")
+    parser.add_argument("command", choices=["train", "overfit", "test"])
+    args = parser.parse_args(argv)
+
+    from vn_pointcloudcompletion_tpu.utils.config import load_config, store_config
+    from vn_pointcloudcompletion_tpu.utils.experiments import (
+        configure_logging,
+        create_experiment,
+        setup_loggers,
+    )
+
+    configure_logging()
+
+    if args.resume:
+        if args.name is None:
+            parser.error("--resume requires -n <experiment dir name>")
+        config = load_config(args.name)
+    else:
+        config = load_config(None)
+        if args.name:
+            config.name = args.name
+        config.checkpoint = args.from_epoch
+        config = create_experiment(config)
+
+    if args.epochs is not None:
+        config.max_epochs = args.epochs
+    if args.ckpt_path is not None:
+        config.enc_pretrained = args.ckpt_path
+    if args.command == "overfit":
+        config.overfit = True
+
+    store_config(config)
+    setup_loggers(
+        args.command,
+        os.path.join(config.exp_dir, f"{args.command}.log"),
+        ["train", "dataset", "test"],
+    )
+
+    if args.command in ("train", "overfit"):
+        import jax
+
+        from vn_pointcloudcompletion_tpu.training.trainer import train
+
+        mesh = None
+        n_dev = args.mesh or len(jax.devices())
+        if n_dev > 1:
+            from vn_pointcloudcompletion_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.devices()[:n_dev])
+        if config.overfit:
+            # overfit: single repeated batch, useful as a correctness probe
+            config.extra["synthetic_train_samples"] = config.batch_size
+            config.extra["synthetic_val_samples"] = config.batch_size
+        train(config, resume=args.resume, mesh=mesh)
+    else:
+        from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
+
+        evaluate(config, save=args.save)
+
+
+if __name__ == "__main__":
+    main()

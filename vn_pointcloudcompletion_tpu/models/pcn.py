@@ -36,6 +36,77 @@ from vn_pointcloudcompletion_tpu.ops.grid import folding_grid_2d, folding_grid_3
 from vn_pointcloudcompletion_tpu.ops.rotations import rotate_points
 
 
+class _VNSplitFoldLayer(nn.Module):
+    """First VN fold layer with the channel-concat matmul split by source.
+
+    Mathematically identical to ``VNLinearLeakyReLU`` applied to
+    ``concat([glob, seed, point])`` (the reference's final_conv layer 1,
+    ``models/pcn.py:335-346``), but the global-feature contribution —
+    identical for all ``num_dense`` points — is contracted once per sample
+    and broadcast, instead of materialising a (B, latent+2, 3, Nd) tensor.
+    On TPU this removes ~99.9% of the layer's FLOPs and the single biggest
+    activation of the whole model (403 MB/sample at 16384 points).
+    """
+
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, glob, seed, point, train: bool = False):
+        # glob: (B, Cg, 3, 1); seed/point: (B, 1, 3, Nd)
+        from vn_pointcloudcompletion_tpu.nn.vn import (
+            VNBatchNorm,
+            _channel_linear,
+            _leaky_reflect,
+            torch_linear_init,
+        )
+
+        cg = glob.shape[1]
+        wg = self.param("kernel_global", torch_linear_init, (self.out_channels, cg))
+        ws = self.param("kernel_seed", torch_linear_init, (self.out_channels, 1))
+        wp = self.param("kernel_point", torch_linear_init, (self.out_channels, 1))
+        p = (
+            _channel_linear(wg, glob)  # (B, out, 3, 1) — once per sample
+            + _channel_linear(ws, seed)
+            + _channel_linear(wp, point)
+        )
+        p = VNBatchNorm(name="batchnorm")(p, train=train)
+        dg = self.param("dir_kernel_global", torch_linear_init, (self.out_channels, cg))
+        ds = self.param("dir_kernel_seed", torch_linear_init, (self.out_channels, 1))
+        dp = self.param("dir_kernel_point", torch_linear_init, (self.out_channels, 1))
+        d = (
+            _channel_linear(dg, glob)
+            + _channel_linear(ds, seed)
+            + _channel_linear(dp, point)
+        )
+        return _leaky_reflect(p, d, self.negative_slope)
+
+
+class _ScalarSplitFoldLayer(nn.Module):
+    """Scalar analogue for FoldingNet/PCN's first final_conv layer:
+    Conv1d over concat([glob, seed, point]) with the global part contracted
+    once per sample.  glob: (B, Cg), seed: (B, 2, Nd), point: (B, 3, Nd)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, glob, seed, point):
+        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init
+
+        cg = glob.shape[1]
+        wg = self.param("kernel_global", torch_linear_init, (self.out_channels, cg))
+        ws = self.param("kernel_seed", torch_linear_init, (self.out_channels, 2))
+        wp = self.param("kernel_point", torch_linear_init, (self.out_channels, 3))
+        b = self.param("bias", torch_linear_init, (self.out_channels, cg + 5))[:, 0]
+        out = (
+            (glob @ wg.T)[:, :, None]  # (B, out, 1)
+            + jnp.einsum("oc,bcn->bon", ws, seed)
+            + jnp.einsum("oc,bcn->bon", wp, point)
+            + b[None, :, None]
+        )
+        return out
+
+
 def _dense_layout(coarse: jnp.ndarray, grid_size: int):
     """Tile each coarse point over its fold grid, reference ordering.
 
@@ -86,12 +157,10 @@ class PCN(nn.Module):
         seed = jnp.broadcast_to(
             seed[None, :, None, :], (b, 2, num_coarse, self.grid_size**2)
         ).reshape(b, 2, self.num_dense)
-        glob = jnp.broadcast_to(
-            feature_global[:, :, None], (b, self.latent_dim, self.num_dense)
-        )
-        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
 
-        f = ConvCh(512, name="final_conv_0")(feat)
+        f = _ScalarSplitFoldLayer(512, name="final_conv_0")(
+            feature_global, seed, point_feat
+        )
         f = BatchNormCh(name="final_bn_0")(f, train=train)
         f = nn.relu(f)
         f = ConvCh(512, name="final_conv_1")(f)
@@ -208,12 +277,10 @@ class FoldingNet(nn.Module):
         seed = jnp.broadcast_to(
             seed[None, :, None, :], (b, 2, nc, grid_size**2)
         ).reshape(b, 2, num_dense)
-        glob = jnp.broadcast_to(
-            feature_global[:, :, None], feature_global.shape + (num_dense,)
-        )
-        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
 
-        f = ConvCh(512, name="final_conv_0")(feat)
+        f = _ScalarSplitFoldLayer(512, name="final_conv_0")(
+            feature_global, seed, point_feat
+        )
         f = BatchNormCh(name="final_bn_0")(f, train=train)
         f = nn.relu(f)
         f = ConvCh(512, name="final_conv_1")(f)
@@ -256,12 +323,11 @@ class VNFoldingNet(nn.Module):
         seed = seed.reshape(b, 1, 3, num_dense)
 
         point_feat = _dense_layout(coarse, grid_size)[:, None]  # (B, 1, 3, Nd)
-        glob = jnp.broadcast_to(
-            feature_global, feature_global.shape[:3] + (num_dense,)
-        )  # (B, latent, 3, Nd)
-        feat = jnp.concatenate([glob, seed, point_feat], axis=1)
-
-        f = VNLinearLeakyReLU(256, name="final_conv_0")(feat, train=train)
+        # split first layer: global latent contracted once per sample instead
+        # of broadcasting a (B, latent+2, 3, Nd) concat (see _VNSplitFoldLayer)
+        f = _VNSplitFoldLayer(256, name="final_conv_0")(
+            feature_global, seed, point_feat, train=train
+        )
         f = VNLinearLeakyReLU(256, name="final_conv_1")(f, train=train)
         f = VNLinear(1, name="final_conv_2")(f)  # (B, 1, 3, Nd)
         fine = f + point_feat
