@@ -101,11 +101,28 @@ def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
     return _chamfer_fwd_impl(x, y)
 
 
+def _use_pallas(x, y) -> bool:
+    # 3-D clouds on TPU with enough work to amortise the kernel launch
+    return (
+        jax.default_backend() == "tpu"
+        and x.shape[-1] == 3
+        and x.shape[1] * y.shape[1] >= 256 * 256
+    )
+
+
 def _chamfer_fwd_impl(x, y):
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    d1, i1 = jax.vmap(_nn_one_sided)(x, y)
-    d2, i2 = jax.vmap(_nn_one_sided)(y, x)
+    if _use_pallas(x, y):
+        from vn_pointcloudcompletion_tpu.ops.chamfer_pallas import (
+            nn_one_sided_pallas,
+        )
+
+        d1, i1 = nn_one_sided_pallas(x, y)
+        d2, i2 = nn_one_sided_pallas(y, x)
+    else:
+        d1, i1 = jax.vmap(_nn_one_sided)(x, y)
+        d2, i2 = jax.vmap(_nn_one_sided)(y, x)
     return d1, d2, i1, i2
 
 
