@@ -19,17 +19,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_train_step(batch_size: int = 16, iters: int = 20, warmup: int = 3):
+def bench_train_step(batch_size: int = 16, iters: int = 20, warmup: int = 3,
+                     dtype: str = "bfloat16"):
     from vn_pointcloudcompletion_tpu.models.composer import build_model
+    from vn_pointcloudcompletion_tpu.nn.precision import (
+        from_config_dtype,
+        set_compute_dtype,
+    )
     from vn_pointcloudcompletion_tpu.training.state import create_train_state
     from vn_pointcloudcompletion_tpu.training.steps import make_train_step
     from vn_pointcloudcompletion_tpu.utils.config import Config
 
+    set_compute_dtype(from_config_dtype(dtype))
     config = Config.from_dict(
         dict(
             enc_type="vn_pointnet", dec_type="vn_foldingnet",
             num_coarse=1024, latent_dim=2048, only_coarse=False,
-            batch_size=batch_size, lr=1e-4, rotation="so3",
+            batch_size=batch_size, lr=1e-4, rotation="so3", dtype=dtype,
         )
     )
     model = build_model(config)

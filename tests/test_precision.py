@@ -1,0 +1,71 @@
+"""bfloat16 compute-path smoke tests (f32 remains the exact default)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vn_pointcloudcompletion_tpu.nn.precision import (
+    compute_dtype,
+    compute_dtype_scope,
+)
+
+
+class TestBF16:
+    def test_default_is_f32(self):
+        assert compute_dtype() == jnp.float32
+
+    def test_model_runs_and_outputs_f32(self, rng):
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+
+        xyz = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32) * 0.2)
+        with compute_dtype_scope(jnp.bfloat16):
+            model = PCNNet(
+                enc_type="vn_pointnet", dec_type="vn_foldingnet",
+                num_coarse=64, latent_dim=2048, only_coarse=False,
+            )
+            variables = model.init(jax.random.key(0), xyz, train=False)
+            coarse, fine = model.apply(variables, xyz, train=False)
+        assert coarse.dtype == jnp.float32 and fine.dtype == jnp.float32
+        assert np.isfinite(np.asarray(coarse)).all()
+        assert np.isfinite(np.asarray(fine)).all()
+
+    def test_bf16_output_close_to_f32_as_point_cloud(self, rng):
+        # Pointwise equivariance is NOT preserved under bf16: a single
+        # argmax flip in the global VNMaxPool shifts every output point.
+        # The meaningful contract is that the *cloud* stays close.
+        from vn_pointcloudcompletion_tpu.metrics.losses import cd_loss_l1
+        from vn_pointcloudcompletion_tpu.models.pcn import VNPointNet
+
+        xyz = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32) * 0.2)
+        model = VNPointNet(num_coarse=32, latent_dim=8)
+        variables = model.init(jax.random.key(0), xyz, train=False)
+        c_f32, _ = model.apply(variables, xyz, train=False)
+        with compute_dtype_scope(jnp.bfloat16):
+            c_bf16, _ = model.apply(variables, xyz, train=False)
+        # normalise by the input cloud scale (the output cloud at init is
+        # near-degenerate, so its own scale is a noise amplifier)
+        scale = float(jnp.abs(xyz).max())
+        cd = float(cd_loss_l1(c_bf16.astype(jnp.float32), c_f32))
+        assert cd / scale < 0.05
+
+    def test_bf16_grads_finite(self, rng):
+        from vn_pointcloudcompletion_tpu.models.composer import build_model
+        from vn_pointcloudcompletion_tpu.training.state import create_train_state
+        from vn_pointcloudcompletion_tpu.training.steps import make_train_step
+        from vn_pointcloudcompletion_tpu.utils.config import Config
+
+        with compute_dtype_scope(jnp.bfloat16):
+            config = Config.from_dict(
+                dict(enc_type="vn_pointnet", dec_type="vn_foldingnet",
+                     num_coarse=64, latent_dim=2048, only_coarse=True,
+                     batch_size=2, lr=1e-3, rotation="none", dtype="bfloat16")
+            )
+            model = build_model(config)
+            p = jnp.asarray(rng.standard_normal((2, 128, 3)).astype(np.float32) * 0.2)
+            c = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32) * 0.2)
+            state = create_train_state(model, config, 10, jax.random.key(0), p)
+            step = make_train_step(config, jit=True)
+            state, metrics = step(state, p, c, jax.random.key(1))
+        assert np.isfinite(float(metrics["total"]))
+        for leaf in jax.tree.leaves(state.params):
+            assert np.isfinite(np.asarray(leaf)).all()

@@ -24,13 +24,15 @@ class ConvCh(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from vn_pointcloudcompletion_tpu.nn.vn import _channel_linear
+
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
-        y = jnp.einsum("oc,bc...->bo...", w, x)
+        y = _channel_linear(w, x)
         if self.use_bias:
             b = self.param("bias", torch_linear_init, (self.out_channels, c_in))[:, 0]
             extra = (1,) * (y.ndim - 2)
-            y = y + b.reshape((1, self.out_channels) + extra)
+            y = y + b.reshape((1, self.out_channels) + extra).astype(y.dtype)
         return y
 
 

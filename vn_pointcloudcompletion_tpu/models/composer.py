@@ -42,6 +42,11 @@ class PCNNet(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, rot=None, train: bool = False):
+        import jax.numpy as jnp
+
+        def f32(t):
+            return None if t is None else t.astype(jnp.float32)
+
         if self.enc_type == "dgcnn_fps":
             encoder = DGCNNfps(self.num_coarse, latent_dim=1024, name="encoder")
         elif self.enc_type == "vn_dgcnn_fps":
@@ -61,8 +66,8 @@ class PCNNet(nn.Module):
 
         if self.only_coarse:
             if self.num_coarse == 448:
-                return coarse[1], None
-            return coarse, None
+                return f32(coarse[1]), None
+            return f32(coarse), None
 
         if self.dec_type == "vn_foldingnet":
             decoder = VNFoldingNet(self.num_coarse, self.latent_dim, name="decoder")
@@ -77,9 +82,9 @@ class PCNNet(nn.Module):
 
         if self.num_coarse == 448:
             fine = decoder(coarse[0], feature_global, rot, train=train)
-            return coarse[1], fine
+            return f32(coarse[1]), f32(fine)
         fine = decoder(coarse, feature_global, rot, train=train)
-        return coarse, fine
+        return f32(coarse), f32(fine)
 
 
 def build_model(config: Config) -> PCNNet:

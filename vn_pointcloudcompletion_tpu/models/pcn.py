@@ -266,9 +266,10 @@ class FoldingNet(nn.Module):
     @nn.compact
     def __call__(self, coarse, feature_global, rot=None, train: bool = False):
         if self.num_coarse == 448:
-            nc, num_dense, grid_size = 224, 14336, 8
+            nc, grid_size = 224, 8
         else:
-            nc, num_dense, grid_size = self.num_coarse, 16384, 4
+            nc, grid_size = self.num_coarse, 4
+        num_dense = nc * grid_size**2  # 16384 at the reference's nc=1024
         b = coarse.shape[0]
         feature_global = feature_global.reshape(b, -1)
 
@@ -305,9 +306,10 @@ class VNFoldingNet(nn.Module):
     @nn.compact
     def __call__(self, coarse, feature_global, rot=None, train: bool = False):
         if self.num_coarse == 448:
-            nc, num_dense, grid_size = 224, 14336, 8
+            nc, grid_size = 224, 8
         else:
-            nc, num_dense, grid_size = self.num_coarse, 16384, 4
+            nc, grid_size = self.num_coarse, 4
+        num_dense = nc * grid_size**2  # 16384 at the reference's nc=1024
         b = coarse.shape[0]
         s = grid_size * grid_size
 

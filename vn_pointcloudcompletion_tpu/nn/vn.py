@@ -35,7 +35,21 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
 
 
 def _channel_linear(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply an (out, in) channel map over axis 1 of (B, C, ...)."""
+    """Apply an (out, in) channel map over axis 1 of (B, C, ...).
+
+    Under a bfloat16 compute scope, operands are cast to bf16 and the MXU
+    accumulates in f32; the result is stored back in bf16 (activation
+    bandwidth is the bottleneck, not matmul precision).
+    """
+    from vn_pointcloudcompletion_tpu.nn.precision import compute_dtype
+
+    dt = compute_dtype()
+    if dt == jnp.bfloat16:
+        out = jnp.einsum(
+            "oc,bc...->bo...", w.astype(dt), x.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(dt)
     return jnp.einsum("oc,bc...->bo...", w, x)
 
 
@@ -91,14 +105,16 @@ class VNBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = jnp.linalg.norm(x, axis=2) + EPS  # (B, C, N...)
+        # statistics always in f32 (bf16 norms drift BN running stats)
+        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2) + EPS  # (B, C, N...)
         norm_bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis=1,
         )(norm)
-        return x / norm[:, :, None] * norm_bn[:, :, None]
+        scale = (norm_bn / norm).astype(x.dtype)
+        return x * scale[:, :, None]
 
 
 class VNLayerNorm(nn.Module):
@@ -106,12 +122,13 @@ class VNLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, C, 3, N)
-        norm = jnp.linalg.norm(x, axis=2) + EPS  # (B, C, N)
+        # x: (B, C, 3, N); statistics in f32
+        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2) + EPS  # (B, C, N)
         norm_t = norm.transpose(0, 2, 1)  # (B, N, C) — LN over C
         norm_l = nn.LayerNorm()(norm_t)
         norm_l = norm_l.transpose(0, 2, 1)  # (B, C, N)
-        return x / norm[:, :, None] * norm_l[:, :, None]
+        scale = (norm_l / norm).astype(x.dtype)
+        return x * scale[:, :, None]
 
 
 class VNLinearLeakyReLU(nn.Module):

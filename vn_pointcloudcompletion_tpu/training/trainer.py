@@ -65,6 +65,13 @@ def train(config: Config, resume: bool = False,
     """Run training; returns summary {best_epoch, best_cd, epochs_run}."""
     from tensorboardX import SummaryWriter
 
+    from vn_pointcloudcompletion_tpu.nn.precision import (
+        from_config_dtype,
+        set_compute_dtype,
+    )
+
+    set_compute_dtype(from_config_dtype(config.dtype))
+
     visual_dir = os.path.join(config.exp_dir, "visualizations")
     train_writer = SummaryWriter(os.path.join(config.exp_dir, "train"))
     val_writer = SummaryWriter(os.path.join(config.exp_dir, "val"))
