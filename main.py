@@ -42,6 +42,8 @@ def main(argv=None):
                         help="override max epochs")
     parser.add_argument("--save", action="store_true",
                         help="test: export predicted clouds as .ply")
+    parser.add_argument("--emd", action="store_true",
+                        help="test: also report per-point EMD (test.py:139-182)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="data-parallel over N devices (0 = all available)")
     parser.add_argument("command", choices=["train", "overfit", "test"])
@@ -100,7 +102,7 @@ def main(argv=None):
     else:
         from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
 
-        evaluate(config, save=args.save)
+        evaluate(config, save=args.save, with_emd=args.emd)
 
 
 if __name__ == "__main__":

@@ -79,13 +79,13 @@ def test_single_category(config, state, metric_step, category, rng,
         dataset, config.batch_size, shuffle=False,
         num_workers=config.num_workers, drop_last=False,
     )
-    totals = {"l1": 0.0, "l2": 0.0, "f": 0.0, "iou": 0.0}
+    totals: Dict[str, float] = {}
     count = 0
     for i, (p, c) in enumerate(device_prefetch(loader)):
         rng, k = jax.random.split(rng)
         out, pred = metric_step(state, p, c, k)
-        for key in totals:
-            totals[key] += float(jnp.sum(out[key]))
+        for key, val in out.items():
+            totals[key] = totals.get(key, 0.0) + float(jnp.sum(val))
         if save_dir is not None:
             pred_np = np.asarray(pred)
             for j in range(pred_np.shape[0]):
@@ -97,7 +97,8 @@ def test_single_category(config, state, metric_step, category, rng,
 
 
 def evaluate(config: Config, save: bool = False,
-             categories: Optional[List[str]] = None) -> Dict[str, Dict[str, float]]:
+             categories: Optional[List[str]] = None,
+             with_emd: bool = False) -> Dict[str, Dict[str, float]]:
     """Evaluate model_best over the test split, print the reference's table."""
     model = build_model(config)
     rng = jax.random.key(config.seed + 1000)
@@ -115,11 +116,13 @@ def evaluate(config: Config, save: bool = False,
             ["synthetic"] if config.dataset == "synthetic" else list(CATEGORIES_PCN)
         )
 
-    metric_step = _make_metric_step(config)
+    metric_step = _make_metric_step(config, with_emd=with_emd)
     results: Dict[str, Dict[str, float]] = {}
     header = "{:20s}{:>12s}{:>12s}{:>16s}{:>12s}".format(
         "Category", "L1_CD(1e-3)", "L2_CD(1e-4)", "FScore-0.01(%)", "iou(%)"
     )
+    if with_emd:
+        header += "{:>12s}".format("EMD(1e-3)")
     log.info(header)
     print(header)
     for category in categories:
@@ -131,22 +134,23 @@ def evaluate(config: Config, save: bool = False,
             config, state, metric_step, category, rng, save_dir
         )
         results[category] = res
-        row = "{:20s}{:>12.4f}{:>12.4f}{:>16.4f}{:>12.4f}".format(
-            category, res["l1"] * 1e3, res["l2"] * 1e4, res["f"] * 1e2,
-            res["iou"] * 1e2,
-        )
+        row = _format_row(category, res)
         log.info(row)
         print(row)
 
-    avg = {
-        k: float(np.mean([r[k] for r in results.values()]))
-        for k in ("l1", "l2", "f", "iou")
-    }
+    keys = next(iter(results.values())).keys()
+    avg = {k: float(np.mean([r[k] for r in results.values()])) for k in keys}
     results["average"] = avg
-    row = "{:20s}{:>12.4f}{:>12.4f}{:>16.4f}{:>12.4f}".format(
-        "average", avg["l1"] * 1e3, avg["l2"] * 1e4, avg["f"] * 1e2,
-        avg["iou"] * 1e2,
-    )
+    row = _format_row("average", avg)
     log.info(row)
     print(row)
     return results
+
+
+def _format_row(name: str, res: Dict[str, float]) -> str:
+    row = "{:20s}{:>12.4f}{:>12.4f}{:>16.4f}{:>12.4f}".format(
+        name, res["l1"] * 1e3, res["l2"] * 1e4, res["f"] * 1e2, res["iou"] * 1e2
+    )
+    if "emd" in res:
+        row += "{:>12.4f}".format(res["emd"] * 1e3)
+    return row
