@@ -125,7 +125,7 @@ class VNLayerNorm(nn.Module):
         # x: (B, C, 3, N); statistics in f32
         norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2) + EPS  # (B, C, N)
         norm_t = norm.transpose(0, 2, 1)  # (B, N, C) — LN over C
-        norm_l = nn.LayerNorm()(norm_t)
+        norm_l = nn.LayerNorm(epsilon=1e-5)(norm_t)  # torch LayerNorm eps
         norm_l = norm_l.transpose(0, 2, 1)  # (B, C, N)
         scale = (norm_l / norm).astype(x.dtype)
         return x * scale[:, :, None]
