@@ -114,12 +114,11 @@ def _chamfer_fwd_impl(x, y):
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     if _use_pallas(x, y):
-        from vn_pointcloudcompletion_tpu.ops.chamfer_pallas import (
-            nn_one_sided_pallas,
+        from vn_pointcloudcompletion_tpu.ops.chamfer_pallas_bidir import (
+            nn_bidirectional_pallas,
         )
 
-        d1, i1 = nn_one_sided_pallas(x, y)
-        d2, i2 = nn_one_sided_pallas(y, x)
+        d1, i1, d2, i2 = nn_bidirectional_pallas(x, y)
     else:
         d1, i1 = jax.vmap(_nn_one_sided)(x, y)
         d2, i2 = jax.vmap(_nn_one_sided)(y, x)

@@ -1,0 +1,142 @@
+"""Fused bidirectional chamfer: one pass over the distance tiles updates both
+directions' minima.
+
+The one-sided kernel (chamfer_pallas.py) computes the N x M distances twice —
+once per direction.  Here each (TN, TM) tile is computed once; row minima
+(x -> y) carry through the in-kernel loop, column minima (y -> x) are emitted
+as per-program partials (each program owns one x-tile) and reduced with a
+cheap jnp.min over the x-tile axis afterwards.  ~1.6x fewer VPU ops than two
+one-sided passes; exact f32 like the one-sided kernel.
+
+Requires both clouds padded to tile multiples (zero-padded points are masked
+in both directions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TN = 512
+TM = 1024
+_BIG = 3.0e38  # plain python scalars: jnp constants would be captured tracers
+_IMAX = 0x7FFFFFFF
+
+
+def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref):
+    # x_ref: (1, 3, TN); y_ref: (1, 3, M_pad)
+    m_pad = y_ref.shape[2]
+    num_tiles = m_pad // TM
+    n_valid = nm_ref[0]
+    m_valid = nm_ref[1]
+    j = pl.program_id(1)
+
+    x0 = x_ref[0, 0, :].reshape(TN, 1)
+    x1 = x_ref[0, 1, :].reshape(TN, 1)
+    x2 = x_ref[0, 2, :].reshape(TN, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + j * TN
+    row_ok = row < n_valid  # (TN, 1)
+
+    def body(t, carry):
+        best_d, best_i = carry
+        y_t0 = y_ref[0, 0, pl.ds(t * TM, TM)].reshape(1, TM)
+        y_t1 = y_ref[0, 1, pl.ds(t * TM, TM)].reshape(1, TM)
+        y_t2 = y_ref[0, 2, pl.ds(t * TM, TM)].reshape(1, TM)
+        d0 = x0 - y_t0
+        d1 = x1 - y_t1
+        d2 = x2 - y_t2
+        dist = d0 * d0 + d1 * d1 + d2 * d2  # (TN, TM)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + t * TM
+        col_ok = col < m_valid
+
+        # x -> y direction: mask out padded columns
+        dist_r = jnp.where(col_ok, dist, _BIG)
+        tile_min = jnp.min(dist_r, axis=1)
+        tile_arg = jnp.min(jnp.where(dist_r <= tile_min[:, None], col, _IMAX), axis=1)
+        take = tile_min < best_d
+        best_d = jnp.where(take, tile_min, best_d)
+        best_i = jnp.where(take, tile_arg, best_i)
+
+        # y -> x direction: mask out padded rows; partial min over this x-tile
+        dist_c = jnp.where(row_ok, dist, _BIG)
+        cmin = jnp.min(dist_c, axis=0)  # (TM,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 0) + j * TN
+        carg = jnp.min(jnp.where(dist_c <= cmin[None, :], rows, _IMAX), axis=0)
+        cold_ref[0, 0, 0, pl.ds(t * TM, TM)] = cmin
+        coli_ref[0, 0, 0, pl.ds(t * TM, TM)] = carg
+        return best_d, best_i
+
+    init = (jnp.full((TN,), _BIG, dtype=jnp.float32),
+            jnp.zeros((TN,), dtype=jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
+    rowd_ref[0, 0, 0, :] = jnp.maximum(best_d, 0.0)
+    rowi_ref[0, 0, 0, :] = best_i
+
+
+def _pad_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_bidirectional_pallas(x: jnp.ndarray, y: jnp.ndarray,
+                            interpret: bool = False):
+    """Both chamfer directions in one sweep.
+
+    x: (B, N, 3), y: (B, M, 3) ->
+    (d_xy (B, N), i_xy (B, N), d_yx (B, M), i_yx (B, M)).
+    """
+    b, n, _ = x.shape
+    m = y.shape[1]
+    n_pad = _pad_to(n, TN)
+    m_pad = _pad_to(m, TM)
+
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
+    yt = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
+    if n_pad != n:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, n_pad - n)))
+    if m_pad != m:
+        yt = jnp.pad(yt, ((0, 0), (0, 0), (0, m_pad - m)))
+    nm = jnp.array([n, m], dtype=jnp.int32)
+
+    nb = n_pad // TN
+    grid = (b, nb)
+    rowd, rowi, cold, coli = pl.pallas_call(
+        _bidir_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, TN), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, TN), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TN), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nb, 1, TN), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 1, TN), jnp.int32),
+            jax.ShapeDtypeStruct((b, nb, 1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 1, m_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xt, yt, nm)
+
+    d_xy = rowd.reshape(b, n_pad)[:, :n]
+    i_xy = rowi.reshape(b, n_pad)[:, :n]
+    # reduce per-x-tile column partials
+    cold = cold[:, :, 0, :m]  # (B, NB, M)
+    coli = coli[:, :, 0, :m]
+    best_tile = jnp.argmin(cold, axis=1)  # (B, M)
+    d_yx = jnp.maximum(jnp.min(cold, axis=1), 0.0)
+    i_yx = jnp.take_along_axis(coli, best_tile[:, None, :], axis=1)[:, 0, :]
+    return d_xy, i_xy, d_yx, i_yx
