@@ -146,11 +146,13 @@ class VNLinearLeakyReLU(nn.Module):
     def __call__(self, x, train: bool = False):
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
-        p = _channel_linear(w, x)
-        p = VNBatchNorm(name="batchnorm")(p, train=train)
         d_out = 1 if self.share_nonlinearity else self.out_channels
         wd = self.param("dir_kernel", torch_linear_init, (d_out, c_in))
-        d = _channel_linear(wd, x)
+        # one fused matmul for the feature and direction maps: reads the
+        # (large) input activation once instead of twice
+        pd = _channel_linear(jnp.concatenate([w, wd], axis=0), x)
+        p, d = pd[:, : self.out_channels], pd[:, self.out_channels :]
+        p = VNBatchNorm(name="batchnorm")(p, train=train)
         return _leaky_reflect(p, d, self.negative_slope)
 
 
