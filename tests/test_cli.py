@@ -34,6 +34,8 @@ def synthetic_project(tmp_path, monkeypatch):
         "synthetic_train_samples": 4,
         "synthetic_val_samples": 2,
         "synthetic_test_samples": 2,
+        "synthetic_n_partial": 512,
+        "synthetic_n_complete": 2048,
     }
     with open(tmp_path / "config.json", "w") as f:
         json.dump(cfg, f)

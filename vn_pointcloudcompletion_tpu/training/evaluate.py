@@ -69,7 +69,9 @@ def test_single_category(config, state, metric_step, category, rng,
                          save_dir=None) -> Dict[str, float]:
     if config.dataset == "synthetic":
         dataset = SyntheticCompletionDataset(
-            config.extra.get("synthetic_test_samples", 16), seed=config.seed + 2
+            config.extra.get("synthetic_test_samples", 16), seed=config.seed + 2,
+            n_partial=config.extra.get("synthetic_n_partial", 2048),
+            n_complete=config.extra.get("synthetic_n_complete", 16384),
         )
     else:
         dataset = ShapeNetPCN(

@@ -45,9 +45,13 @@ def build_datasets(config: Config):
     if config.dataset == "synthetic":
         n = config.extra.get("synthetic_train_samples", 64)
         nv = config.extra.get("synthetic_val_samples", 16)
+        kw = dict(
+            n_partial=config.extra.get("synthetic_n_partial", 2048),
+            n_complete=config.extra.get("synthetic_n_complete", 16384),
+        )
         return (
-            SyntheticCompletionDataset(n, seed=config.seed),
-            SyntheticCompletionDataset(nv, seed=config.seed + 1),
+            SyntheticCompletionDataset(n, seed=config.seed, **kw),
+            SyntheticCompletionDataset(nv, seed=config.seed + 1, **kw),
         )
     root = os.path.join(config.data_path, "PCN")
     return (
@@ -93,7 +97,8 @@ def train(config: Config, resume: bool = False,
 
     rng = jax.random.key(config.seed)
     rng, init_rng = jax.random.split(rng)
-    sample = jnp.zeros((config.batch_size, 2048, 3), jnp.float32)
+    n_partial = config.extra.get("synthetic_n_partial", 2048)
+    sample = jnp.zeros((config.batch_size, n_partial, 3), jnp.float32)
     state = create_train_state(model, config, steps_per_epoch, init_rng, sample)
 
     if config.enc_pretrained != "none" and os.path.exists(config.enc_pretrained):
