@@ -44,6 +44,9 @@ def main(argv=None):
                         help="test: export predicted clouds as .ply")
     parser.add_argument("--emd", action="store_true",
                         help="test: also report per-point EMD (test.py:139-182)")
+    parser.add_argument("--novel", action="store_true",
+                        help="test: evaluate the 8 novel (unseen) categories"
+                             " (reference test.py:19, branch commented out)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="data-parallel over N devices (0 = all available)")
     parser.add_argument("command", choices=["train", "overfit", "test"])
@@ -102,7 +105,15 @@ def main(argv=None):
     else:
         from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
 
-        evaluate(config, save=args.save, with_emd=args.emd)
+        categories = None
+        if args.novel:
+            from vn_pointcloudcompletion_tpu.data.shapenet import (
+                CATEGORIES_PCN_NOVEL,
+            )
+
+            categories = list(CATEGORIES_PCN_NOVEL)
+        evaluate(config, save=args.save, with_emd=args.emd,
+                 categories=categories)
 
 
 if __name__ == "__main__":

@@ -52,19 +52,19 @@ def make_batch(rng, b=2, n=256, m=512):
 
 class TestTrainStep:
     def test_loss_decreases(self, rng):
-        config = tiny_config()
+        config = tiny_config(lr=3e-4)
         model = build_model(config)
         p, c = make_batch(rng)
         state = create_train_state(model, config, 10, jax.random.key(0), p)
         step = make_train_step(config, jit=True)
         key = jax.random.key(1)
         losses = []
-        for i in range(100):
+        for i in range(200):
             key, k = jax.random.split(key)
             state, metrics = step(state, p, c, k)
             losses.append(float(metrics["total"]))
         # Adam has an initial transient; compare settled tail to the start.
-        assert np.mean(losses[-10:]) < losses[0]
+        assert np.mean(losses[-10:]) < 0.9 * losses[0]
 
     def test_rotation_augmented_step_runs(self, rng):
         config = tiny_config(rotation="so3")

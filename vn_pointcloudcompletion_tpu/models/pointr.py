@@ -114,6 +114,21 @@ class VNDGCNNGrouper(nn.Module):
         return coor_q, f
 
 
+def pos_encoding_sin_wave(coor: jnp.ndarray, num_freqs: int = 64) -> jnp.ndarray:
+    """NeRF-style sine/cosine positional encoding of coordinates.
+
+    Reference helper at vn_pointr.py:555-575 (defined but unused in its
+    forward pass; kept for parity).  coor: (B, 3, N) -> (B, 6*num_freqs, N).
+    """
+    import numpy as _np
+
+    normal = 2 * ((coor - coor.min()) / (coor.max() - coor.min() + 1e-12)) - 1
+    freqs = _np.pi * (2.0 ** jnp.arange(num_freqs, dtype=jnp.float32))
+    k = normal[..., None] * freqs  # (B, 3, N, D)
+    x = jnp.concatenate([jnp.sin(k), jnp.cos(k)], axis=-1)  # (B, 3, N, 2D)
+    return jnp.swapaxes(x, -1, -2).reshape(coor.shape[0], -1, coor.shape[-1])
+
+
 class VNPCTransformer(nn.Module):
     """Geometry-aware completion transformer (vn_pointr.py:414-722)."""
 

@@ -74,8 +74,11 @@ def test_single_category(config, state, metric_step, category, rng,
             n_complete=config.extra.get("synthetic_n_complete", 16384),
         )
     else:
+        from vn_pointcloudcompletion_tpu.data.shapenet import CATEGORIES_PCN_NOVEL
+
+        split = "test_novel" if category in CATEGORIES_PCN_NOVEL else "test"
         dataset = ShapeNetPCN(
-            os.path.join(config.data_path, "PCN"), "test", category
+            os.path.join(config.data_path, "PCN"), split, category
         )
     loader = BatchLoader(
         dataset, config.batch_size, shuffle=False,

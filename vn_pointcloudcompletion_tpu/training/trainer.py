@@ -145,19 +145,18 @@ def train(config: Config, resume: bool = False,
     for epoch in range(start_epoch, end_epoch + 1):
         # ---- train ----
         train_loader.set_epoch(epoch)
-        sums = {"coarse": 0.0, "dense": 0.0, "total": 0.0}
         t0 = time.time()
+        # Metrics stay on device until a log point — a float() per step would
+        # sync the async dispatch queue and stall the accelerator.
+        step_metrics = []
         for i, (p, c) in enumerate(
             device_prefetch(train_loader, sharding=batch_sharding)
         ):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, p, c, step_rng)
-            train_step_idx = epoch * n_batches + i
-            m = {k: float(v) for k, v in metrics.items()}
-            sums["total"] += m["total"]
-            sums["coarse"] += m["coarse"]
-            sums["dense"] += m["dense"]
+            step_metrics.append(metrics)
             if (i + 1) % step_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
                 log.info(
                     "Training Epoch [{:03d}/{:03d}] - Iteration [{:03d}/{:03d}]:"
                     " coarse loss = {:.6f}, dense loss = {:.6f}, total loss = {:.6f}".format(
@@ -165,6 +164,13 @@ def train(config: Config, resume: bool = False,
                         m["coarse"] * 1e3, m["dense"] * 1e3, m["total"] * 1e3,
                     )
                 )
+
+        sums = {"coarse": 0.0, "dense": 0.0, "total": 0.0}
+        for i, metrics in enumerate(step_metrics):
+            train_step_idx = epoch * n_batches + i
+            m = {k: float(v) for k, v in metrics.items()}
+            for k in sums:
+                sums[k] += m[k]
             train_writer.add_scalar("Loss/Batch/Coarse", m["coarse"], train_step_idx)
             train_writer.add_scalar("Loss/Batch/Dense", m["dense"], train_step_idx)
             train_writer.add_scalar("Loss/Batch/Total", m["total"], train_step_idx)

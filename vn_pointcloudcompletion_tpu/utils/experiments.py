@@ -59,6 +59,22 @@ def setup_loggers(command: str, log_path: Optional[str] = None,
         logging.getLogger(name).addHandler(handler)
 
 
+def get_num_params_total(params) -> int:
+    """Total parameter count of a pytree (reference :299-302)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def get_num_params(params) -> dict:
+    """Coarse/dense split by top-level subtree (reference :304-318)."""
+    import jax
+
+    total = get_num_params_total(params)
+    dense = get_num_params_total(params.get("decoder", {}))
+    return {"coarse": total - dense, "dense": total}
+
+
 def create_experiment(config: Config) -> Config:
     """Create the next ``MM-DD_<name>_NNN`` run dir (reference :103-171)."""
     experiment_name = f"{datetime.now().strftime('%m-%d')}_{config.name}"
