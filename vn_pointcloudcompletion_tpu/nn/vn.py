@@ -131,19 +131,80 @@ class VNLayerNorm(nn.Module):
         return x * scale[:, :, None]
 
 
+class _NormAffine(nn.Module):
+    """BatchNorm-on-norms folded to per-channel affine (A, B).
+
+    Reproduces flax ``nn.BatchNorm`` semantics (f32 stats, biased variance,
+    momentum update skipped at init) but returns the folded coefficients
+    ``norm_bn = A * norm + B`` instead of applying them — the fused Pallas
+    kernel applies them in one pass.  Parameter/stat names match
+    ``nn.BatchNorm`` so the tree is identical to the unfused path.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, norm, train: bool):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            axes = (0,) + tuple(range(2, norm.ndim))
+            mean = jnp.mean(norm, axis=axes)
+            mean2 = jnp.mean(norm * norm, axis=axes)
+            var = mean2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        return a, bias - mean * a
+
+
+class _FoldedBN(nn.Module):
+    """Nesting shim so the fused path's stats share the unfused path's tree
+    (``batchnorm/BatchNorm_0/...``, matching the auto-named nn.BatchNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, norm, train: bool):
+        return _NormAffine(self.features, name="BatchNorm_0")(norm, train)
+
+
 class VNLinearLeakyReLU(nn.Module):
     """Fused linear + norm-BatchNorm + leaky (models/vn_layers.py:46-74).
 
     Note the direction map reads the *input* ``x`` while the nonlinearity acts
     on the normalised output ``p`` — exactly the reference's wiring.
+
+    On TPU with eligible shapes the BN + leaky-reflect chain after the matmul
+    runs as one fused Pallas pass (ops/vn_fused.py); ``fused`` forces the
+    choice (None = auto).  Both paths share one parameter tree.
     """
 
     out_channels: int
     share_nonlinearity: bool = False
     negative_slope: float = 0.2
+    fused: "bool | None" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from vn_pointcloudcompletion_tpu.ops import vn_fused
+
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
         d_out = 1 if self.share_nonlinearity else self.out_channels
@@ -151,6 +212,33 @@ class VNLinearLeakyReLU(nn.Module):
         # one fused matmul for the feature and direction maps: reads the
         # (large) input activation once instead of twice
         pd = _channel_linear(jnp.concatenate([w, wd], axis=0), x)
+
+        # NOTE: the fused path measured *slower* than XLA's own fusions on
+        # TPU v5e (89 vs 121 completions/s on the flagship step): pallas
+        # blocks with a 3-sized sublane dim pad 3->8/16 in VMEM and the
+        # fine-grained grid adds pipeline overhead.  Kept as tested opt-in
+        # infrastructure (fused=True) pending a packed-layout kernel.
+        use_fused = bool(self.fused)
+        if use_fused and not (
+            not self.share_nonlinearity and vn_fused.eligible(pd)
+        ):
+            use_fused = False
+        if use_fused:
+            interpret = jax.default_backend() != "tpu"
+            p = pd[:, : self.out_channels]
+            bn = _FoldedBN(self.out_channels, name="batchnorm")
+            # stats need norms only in train mode; eval reads running stats
+            if train:
+                norm = (
+                    jnp.linalg.norm(p.astype(jnp.float32), axis=2) + EPS
+                )
+                a, b = bn(norm, True)
+            else:
+                a, b = bn(None, False)
+            return vn_fused.fused_bn_leaky(
+                pd, a, b, self.negative_slope, interpret
+            )
+
         p, d = pd[:, : self.out_channels], pd[:, self.out_channels :]
         p = VNBatchNorm(name="batchnorm")(p, train=train)
         return _leaky_reflect(p, d, self.negative_slope)
