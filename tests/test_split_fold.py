@@ -18,9 +18,15 @@ class TestVNSplitFold:
         seed = jnp.asarray(rng.standard_normal((b, 1, 3, nd)).astype(np.float32))
         point = jnp.asarray(rng.standard_normal((b, 1, 3, nd)).astype(np.float32))
 
+        # the split layer runs in plane layout (B, 3, C, N)
+        glob_p = jnp.swapaxes(glob, 1, 2)
+        seed_p = jnp.swapaxes(seed, 1, 2)
+        point_p = jnp.swapaxes(point, 1, 2)
         split = _VNSplitFoldLayer(out)
-        vs = split.init(jax.random.key(0), glob, seed, point, train=False)
-        out_split = split.apply(vs, glob, seed, point, train=False)
+        vs = split.init(jax.random.key(0), glob_p, seed_p, point_p, train=False)
+        out_split = jnp.swapaxes(
+            split.apply(vs, glob_p, seed_p, point_p, train=False), 1, 2
+        )
 
         # assemble the equivalent fused kernel and run VNLinearLeakyReLU
         p = vs["params"]

@@ -52,34 +52,43 @@ class _VNSplitFoldLayer(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, glob, seed, point, train: bool = False):
-        # glob: (B, Cg, 3, 1); seed/point: (B, 1, 3, Nd)
+    def __call__(self, glob_planes, seed_planes, point_planes,
+                 train: bool = False):
+        # plane layout: glob (B, 3, Cg, 1); seed/point (B, 3, 1, Nd)
         from vn_pointcloudcompletion_tpu.nn.vn import (
-            VNBatchNorm,
-            _channel_linear,
-            _leaky_reflect,
+            EPS,
+            _FoldedBN,
+            _channel_linear_plane,
             torch_linear_init,
         )
+        from vn_pointcloudcompletion_tpu.ops import vn_fused
 
-        cg = glob.shape[1]
+        cg = glob_planes.shape[2]
         wg = self.param("kernel_global", torch_linear_init, (self.out_channels, cg))
         ws = self.param("kernel_seed", torch_linear_init, (self.out_channels, 1))
         wp = self.param("kernel_point", torch_linear_init, (self.out_channels, 1))
         p = (
-            _channel_linear(wg, glob)  # (B, out, 3, 1) — once per sample
-            + _channel_linear(ws, seed)
-            + _channel_linear(wp, point)
+            _channel_linear_plane(wg, glob_planes)  # (B, 3, out, 1) — per sample
+            + _channel_linear_plane(ws, seed_planes)
+            + _channel_linear_plane(wp, point_planes)
         )
-        p = VNBatchNorm(name="batchnorm")(p, train=train)
         dg = self.param("dir_kernel_global", torch_linear_init, (self.out_channels, cg))
         ds = self.param("dir_kernel_seed", torch_linear_init, (self.out_channels, 1))
         dp = self.param("dir_kernel_point", torch_linear_init, (self.out_channels, 1))
         d = (
-            _channel_linear(dg, glob)
-            + _channel_linear(ds, seed)
-            + _channel_linear(dp, point)
+            _channel_linear_plane(dg, glob_planes)
+            + _channel_linear_plane(ds, seed_planes)
+            + _channel_linear_plane(dp, point_planes)
         )
-        return _leaky_reflect(p, d, self.negative_slope)
+        bn = _FoldedBN(self.out_channels, name="batchnorm")
+        if train:
+            norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+            a, b = bn(norm, True)
+        else:
+            a, b = bn(None, False)
+        if vn_fused.eligible(p) and jax.default_backend() == "tpu":
+            return vn_fused.fused_bn_leaky(p, d, a, b, self.negative_slope)
+        return vn_fused.reference_bn_leaky_planes(p, d, a, b, self.negative_slope)
 
 
 class _ScalarSplitFoldLayer(nn.Module):
@@ -180,17 +189,24 @@ class _VNPointNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, xyz, train: bool = False):
         b, n, _ = xyz.shape
-        x = xyz.transpose(0, 2, 1)[:, None]  # (B, 1, 3, N)
+        # hot path in plane layout (B, 3, C, N); the tiny N=1 mlp tail and the
+        # public feature_global contract stay in vec layout (B, C, 3, 1)
+        x = xyz.transpose(0, 2, 1)[:, :, None, :]  # (B, 3, 1, N)
 
-        f = VNLinearLeakyReLU(128, name="first_conv_0")(x, train=train)
-        f = VNLinear(512, name="first_conv_1")(f)  # (B, 512, 3, N)
-        g = VNMaxPool(name="maxpool1")(f)[..., None]  # (B, 512, 3, 1)
+        f = VNLinearLeakyReLU(128, layout="plane", name="first_conv_0")(
+            x, train=train
+        )
+        f = VNLinear(512, layout="plane", name="first_conv_1")(f)  # (B, 3, 512, N)
+        g = VNMaxPool(layout="plane", name="maxpool1")(f)[..., None]  # (B, 3, 512, 1)
         f = jnp.concatenate(
-            [jnp.broadcast_to(g, (b, 512, 3, n)), f], axis=1
-        )  # (B, 1024, 3, N)
-        f = VNLinearLeakyReLU(1024, name="second_conv_0")(f, train=train)
-        f = VNLinear(self.latent_dim * 2, name="second_conv_1")(f)
-        feature_global = VNMaxPool(name="maxpool2")(f)[..., None]  # (B, 2L, 3, 1)
+            [jnp.broadcast_to(g, (b, 3, 512, n)), f], axis=2
+        )  # (B, 3, 1024, N)
+        f = VNLinearLeakyReLU(1024, layout="plane", name="second_conv_0")(
+            f, train=train
+        )
+        f = VNLinear(self.latent_dim * 2, layout="plane", name="second_conv_1")(f)
+        fg_planes = VNMaxPool(layout="plane", name="maxpool2")(f)[..., None]
+        feature_global = jnp.swapaxes(fg_planes, 1, 2)  # (B, 2L, 3, 1)
 
         h = VNLinearAndLeakyReLU(2048, use_batchnorm="none", name="mlp_0")(
             feature_global, train=train
@@ -313,27 +329,31 @@ class VNFoldingNet(nn.Module):
         b = coarse.shape[0]
         s = grid_size * grid_size
 
+        # the whole decoder runs in TPU-friendly plane layout (B, 3, C, N)
         seed = folding_grid_3d(grid_size)  # (3, S)
         if rot is not None:
             seed = rotate_points(seed.T, rot)  # (B, S, 3)
-            seed = seed.transpose(0, 2, 1)[:, None]  # (B, 1, 3, S)
+            seed = seed.transpose(0, 2, 1)[:, :, None]  # (B, 3, 1, S)
         else:
-            seed = jnp.broadcast_to(seed[None, None], (b, 1, 3, s))
+            seed = jnp.broadcast_to(seed[None, :, None], (b, 3, 1, s))
 
-        # (B, 1, 3, Nc*S): for each coarse point, its grid of seeds
-        seed = jnp.broadcast_to(seed[:, :, :, None, :], (b, 1, 3, nc, s))
-        seed = seed.reshape(b, 1, 3, num_dense)
+        # (B, 3, 1, Nc*S): for each coarse point, its grid of seeds
+        seed = jnp.broadcast_to(seed[:, :, :, None, :], (b, 3, 1, nc, s))
+        seed = seed.reshape(b, 3, 1, num_dense)
 
-        point_feat = _dense_layout(coarse, grid_size)[:, None]  # (B, 1, 3, Nd)
+        point_feat = _dense_layout(coarse, grid_size)[:, :, None]  # (B, 3, 1, Nd)
+        glob_planes = jnp.swapaxes(feature_global, 1, 2)  # (B, 3, latent, 1)
         # split first layer: global latent contracted once per sample instead
         # of broadcasting a (B, latent+2, 3, Nd) concat (see _VNSplitFoldLayer)
         f = _VNSplitFoldLayer(256, name="final_conv_0")(
-            feature_global, seed, point_feat, train=train
+            glob_planes, seed, point_feat, train=train
         )
-        f = VNLinearLeakyReLU(256, name="final_conv_1")(f, train=train)
-        f = VNLinear(1, name="final_conv_2")(f)  # (B, 1, 3, Nd)
+        f = VNLinearLeakyReLU(256, layout="plane", name="final_conv_1")(
+            f, train=train
+        )
+        f = VNLinear(1, layout="plane", name="final_conv_2")(f)  # (B, 3, 1, Nd)
         fine = f + point_feat
-        return fine[:, 0].transpose(0, 2, 1)  # (B, Nd, 3)
+        return fine[:, :, 0].transpose(0, 2, 1)  # (B, Nd, 3)
 
 
 class AttentionVNFoldingNet(nn.Module):

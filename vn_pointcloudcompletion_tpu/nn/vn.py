@@ -53,14 +53,46 @@ def _channel_linear(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("oc,bc...->bo...", w, x)
 
 
+def _channel_linear_plane(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Channel map over axis 2 of plane-layout (B, 3, C, N) tensors."""
+    from vn_pointcloudcompletion_tpu.nn.precision import compute_dtype
+
+    dt = compute_dtype()
+    if dt == jnp.bfloat16:
+        out = jnp.einsum(
+            "oc,bjcn->bjon", w.astype(dt), x.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(dt)
+    return jnp.einsum("oc,bjcn->bjon", w, x)
+
+
+def to_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, 3, N) vec layout -> (B, 3, C, N) plane layout."""
+    return jnp.swapaxes(x, 1, 2)
+
+
+def from_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, C, N) plane layout -> (B, C, 3, N) vec layout."""
+    return jnp.swapaxes(x, 1, 2)
+
+
 class VNLinear(nn.Module):
-    """Channel-mixing linear on vector features (models/vn_layers.py:12-22)."""
+    """Channel-mixing linear on vector features (models/vn_layers.py:12-22).
+
+    ``layout='plane'`` operates on (B, 3, C, N) coordinate planes (the
+    TPU-friendly layout for hot chains); 'vec' is the reference (B, C, 3, N).
+    """
 
     out_channels: int
+    layout: str = "vec"
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("kernel", torch_linear_init, (self.out_channels, x.shape[1]))
+        c_in = x.shape[2] if self.layout == "plane" else x.shape[1]
+        w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
+        if self.layout == "plane":
+            return _channel_linear_plane(w, x)
         return _channel_linear(w, x)
 
 
@@ -191,19 +223,51 @@ class VNLinearLeakyReLU(nn.Module):
     Note the direction map reads the *input* ``x`` while the nonlinearity acts
     on the normalised output ``p`` — exactly the reference's wiring.
 
-    On TPU with eligible shapes the BN + leaky-reflect chain after the matmul
-    runs as one fused Pallas pass (ops/vn_fused.py); ``fused`` forces the
-    choice (None = auto).  Both paths share one parameter tree.
+    ``layout='plane'`` runs on (B, 3, C, N) coordinate planes; there, for
+    eligible shapes, the BN + leaky-reflect chain after the matmul runs as
+    one fused Pallas pass (ops/vn_fused.py, ~3x over the XLA chain on v5e).
+    ``fused`` forces the choice (None = auto: on for plane layout on TPU).
+    Both paths and both layouts share one parameter tree.
     """
 
     out_channels: int
     share_nonlinearity: bool = False
     negative_slope: float = 0.2
+    layout: str = "vec"
     fused: "bool | None" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from vn_pointcloudcompletion_tpu.ops import vn_fused
+
+        if self.layout == "plane":
+            c_in = x.shape[2]
+            w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
+            d_out = 1 if self.share_nonlinearity else self.out_channels
+            wd = self.param("dir_kernel", torch_linear_init, (d_out, c_in))
+            p = _channel_linear_plane(w, x)
+            d = _channel_linear_plane(wd, x)
+            if self.share_nonlinearity:
+                d = jnp.broadcast_to(d, p.shape)
+            bn = _FoldedBN(self.out_channels, name="batchnorm")
+            if train:
+                norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+                a, b = bn(norm, True)
+            else:
+                a, b = bn(None, False)
+            use_fused = self.fused
+            if use_fused is None:
+                use_fused = (
+                    vn_fused.eligible(p) and jax.default_backend() == "tpu"
+                )
+            if use_fused and vn_fused.eligible(p):
+                interpret = jax.default_backend() != "tpu"
+                return vn_fused.fused_bn_leaky(
+                    p, d, a, b, self.negative_slope, interpret
+                )
+            return vn_fused.reference_bn_leaky_planes(
+                p, d, a, b, self.negative_slope
+            )
 
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
@@ -212,33 +276,6 @@ class VNLinearLeakyReLU(nn.Module):
         # one fused matmul for the feature and direction maps: reads the
         # (large) input activation once instead of twice
         pd = _channel_linear(jnp.concatenate([w, wd], axis=0), x)
-
-        # NOTE: the fused path measured *slower* than XLA's own fusions on
-        # TPU v5e (89 vs 121 completions/s on the flagship step): pallas
-        # blocks with a 3-sized sublane dim pad 3->8/16 in VMEM and the
-        # fine-grained grid adds pipeline overhead.  Kept as tested opt-in
-        # infrastructure (fused=True) pending a packed-layout kernel.
-        use_fused = bool(self.fused)
-        if use_fused and not (
-            not self.share_nonlinearity and vn_fused.eligible(pd)
-        ):
-            use_fused = False
-        if use_fused:
-            interpret = jax.default_backend() != "tpu"
-            p = pd[:, : self.out_channels]
-            bn = _FoldedBN(self.out_channels, name="batchnorm")
-            # stats need norms only in train mode; eval reads running stats
-            if train:
-                norm = (
-                    jnp.linalg.norm(p.astype(jnp.float32), axis=2) + EPS
-                )
-                a, b = bn(norm, True)
-            else:
-                a, b = bn(None, False)
-            return vn_fused.fused_bn_leaky(
-                pd, a, b, self.negative_slope, interpret
-            )
-
         p, d = pd[:, : self.out_channels], pd[:, self.out_channels :]
         p = VNBatchNorm(name="batchnorm")(p, train=train)
         return _leaky_reflect(p, d, self.negative_slope)
@@ -270,8 +307,19 @@ class VNMaxPool(nn.Module):
     selected vectors (take_along_axis semantics).
     """
 
+    layout: str = "vec"
+
     @nn.compact
     def __call__(self, x):
+        if self.layout == "plane":
+            # x: (B, 3, C, N) -> (B, 3, C)
+            c = x.shape[2]
+            w = self.param("dir_kernel", torch_linear_init, (c, c))
+            d = _channel_linear_plane(w, x)
+            dotprod = jnp.sum(x * d, axis=1, keepdims=True)  # (B, 1, C, N)
+            idx = jnp.argmax(dotprod, axis=-1, keepdims=True)  # (B, 1, C, 1)
+            idx = jnp.broadcast_to(idx, x.shape[:-1] + (1,))
+            return jnp.take_along_axis(x, idx, axis=-1)[..., 0]
         w = self.param("dir_kernel", torch_linear_init, (x.shape[1], x.shape[1]))
         d = _channel_linear(w, x)
         dotprod = jnp.sum(x * d, axis=2, keepdims=True)  # (B, C, 1, ..., L)
