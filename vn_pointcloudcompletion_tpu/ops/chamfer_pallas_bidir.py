@@ -27,8 +27,11 @@ _BIG = 3.0e38  # plain python scalars: jnp constants would be captured tracers
 _IMAX = 0x7FFFFFFF
 
 
-def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref):
+def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
+                  *, mask_rows: bool, mask_cols: bool):
     # x_ref: (1, 3, TN); y_ref: (1, 3, M_pad)
+    # mask_rows/mask_cols are compile-time: tile-multiple clouds (the common
+    # 2048/16384 sizes) skip the padding masks entirely (~30% fewer VPU ops).
     m_pad = y_ref.shape[2]
     num_tiles = m_pad // TM
     n_valid = nm_ref[0]
@@ -38,8 +41,9 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref):
     x0 = x_ref[0, 0, :].reshape(TN, 1)
     x1 = x_ref[0, 1, :].reshape(TN, 1)
     x2 = x_ref[0, 2, :].reshape(TN, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + j * TN
-    row_ok = row < n_valid  # (TN, 1)
+    if mask_rows:
+        row = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + j * TN
+        row_ok = row < n_valid  # (TN, 1)
 
     def body(t, carry):
         best_d, best_i = carry
@@ -51,18 +55,17 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref):
         d2 = x2 - y_t2
         dist = d0 * d0 + d1 * d1 + d2 * d2  # (TN, TM)
         col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + t * TM
-        col_ok = col < m_valid
 
-        # x -> y direction: mask out padded columns
-        dist_r = jnp.where(col_ok, dist, _BIG)
+        # x -> y direction
+        dist_r = jnp.where(col < m_valid, dist, _BIG) if mask_cols else dist
         tile_min = jnp.min(dist_r, axis=1)
         tile_arg = jnp.min(jnp.where(dist_r <= tile_min[:, None], col, _IMAX), axis=1)
         take = tile_min < best_d
         best_d = jnp.where(take, tile_min, best_d)
         best_i = jnp.where(take, tile_arg, best_i)
 
-        # y -> x direction: mask out padded rows; partial min over this x-tile
-        dist_c = jnp.where(row_ok, dist, _BIG)
+        # y -> x direction: partial min over this x-tile
+        dist_c = jnp.where(row_ok, dist, _BIG) if mask_rows else dist
         cmin = jnp.min(dist_c, axis=0)  # (TM,)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 0) + j * TN
         carg = jnp.min(jnp.where(dist_c <= cmin[None, :], rows, _IMAX), axis=0)
@@ -104,8 +107,11 @@ def nn_bidirectional_pallas(x: jnp.ndarray, y: jnp.ndarray,
 
     nb = n_pad // TN
     grid = (b, nb)
+    kernel = functools.partial(
+        _bidir_kernel, mask_rows=(n_pad != n), mask_cols=(m_pad != m)
+    )
     rowd, rowi, cold, coli = pl.pallas_call(
-        _bidir_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, TN), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
