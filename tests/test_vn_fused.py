@@ -33,7 +33,8 @@ class TestFusedForward:
         p, *_ = make_inputs(rng, c=128, n=512)
         assert eligible(p)
         assert not eligible(p[:, :, :, :100])  # N < TN
-        assert not eligible(jnp.zeros((2, 3, 96, 512)))  # C not /128
+        assert eligible(jnp.zeros((2, 3, 96, 512)))  # thin layer, sublane ok
+        assert not eligible(jnp.zeros((2, 3, 10, 512)))  # C not 16-aligned
         assert not eligible(jnp.zeros((2, 96, 3, 512)))  # vec layout
 
 

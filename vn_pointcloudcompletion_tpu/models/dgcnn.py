@@ -76,6 +76,31 @@ def _edge_vn(x, k=16, coords=None):
     return vn_graph_feature(x, x, idx)  # (B, 2C, 3, N, K)
 
 
+def _edge_vn_planes(x, k=16, coords=None):
+    """Plane-layout VN EdgeConv features with flattened neighbour axis.
+
+    x: (B, 3, C, N).  Returns (B, 3, 2C, N*K) — the kNN metric over the
+    flattened feature vector is permutation-invariant, so the plane flatten
+    gives the same neighbour sets as the reference's (C, 3) ordering.
+    """
+    from vn_pointcloudcompletion_tpu.ops.knn import vn_graph_feature_planes
+
+    if coords is None:
+        b, _, c, n = x.shape
+        flat = x.reshape(b, 3 * c, n).transpose(0, 2, 1)
+        _, idx = knn(flat, flat, k)
+    else:
+        pts = coords.transpose(0, 2, 1)
+        _, idx = knn(pts, pts, k)
+    return vn_graph_feature_planes(x, x, idx)
+
+
+def _pool_edge_planes(f, n, k):
+    """(B, 3, C, N*K) -> mean over K -> (B, 3, C, N)."""
+    b, _, c, _ = f.shape
+    return f.reshape(b, 3, c, n, k).mean(axis=-1)
+
+
 class DGCNNfps(nn.Module):
     """Scalar DGCNN encoder with FPS downsampling (reference :19-161)."""
 
@@ -131,32 +156,36 @@ class VNDGCNNfps(nn.Module):
     @nn.compact
     def __call__(self, xyz, train: bool = False):
         nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
-        b = xyz.shape[0]
+        b, n, _ = xyz.shape
         coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-        x = coor[:, None]  # (B, 1, 3, N)
+        x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
 
         # dynamic graph on raw coords (first layer: feature space == coords)
-        f = _edge_vn(x, 16)  # (B, 2, 3, N, 16)
-        f = VNLinearLeakyReLU(32, name="conv1")(f, train=train)
-        x1 = mean_pool(f)  # (B, 32, 3, N)
+        f = _edge_vn_planes(x, 16)  # (B, 3, 2, N*16)
+        f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(f, train=train)
+        x1 = _pool_edge_planes(f, n, 16)  # (B, 3, 32, N)
 
         coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-        f = _edge_vn(f_q, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(64, name="conv4")(f, train=train)
-        f = mean_pool(f)
+        f = _edge_vn_planes(f_q, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(64, layout="plane", name="conv4")(f, train=train)
+        f = _pool_edge_planes(f, 512, 16)
 
-        f = _edge_vn(f, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(128, name="conv5")(f, train=train)
-        f = mean_pool(f)
+        f = _edge_vn_planes(f, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(128, layout="plane", name="conv5")(f, train=train)
+        f = _pool_edge_planes(f, 512, 16)
 
         coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-        f = _edge_vn(f_q, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(512, name="conv6")(f, train=train)
-        f = mean_pool(f)  # (B, 512, 3, 128)
+        f = _edge_vn_planes(f_q, 16, coords=coor_q)
+        f = VNLinearLeakyReLU(512, layout="plane", name="conv6")(f, train=train)
+        f = _pool_edge_planes(f, 128, 16)  # (B, 3, 512, 128)
 
-        global_feature = VNMaxPool(name="pool5")(f)[..., None]  # (B, 512, 3, 1)
-        h = VNLinearLeakyReLU(1024, name="conv7_0")(global_feature, train=train)
-        coarse = VNLinear(nc, name="conv7_1")(h)[..., 0]  # (B, nc, 3)
+        gf_planes = VNMaxPool(layout="plane", name="pool5")(f)[..., None]
+        h = VNLinearLeakyReLU(1024, layout="plane", name="conv7_0")(
+            gf_planes, train=train
+        )
+        coarse = VNLinear(nc, layout="plane", name="conv7_1")(h)  # (B, 3, nc, 1)
+        coarse = coarse[..., 0].transpose(0, 2, 1)  # (B, nc, 3)
+        global_feature = jnp.swapaxes(gf_planes, 1, 2)  # (B, 512, 3, 1)
 
         if nc == 224:
             inp_sparse = fps(xyz, 224)

@@ -91,27 +91,34 @@ class VNDGCNNGrouper(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
-        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-        x = coor[:, None]  # (B, 1, 3, N)
+        from vn_pointcloudcompletion_tpu.models.dgcnn import (
+            _edge_vn_planes,
+            _pool_edge_planes,
+        )
 
-        f = _edge_vn(x, 16)
-        f = VNLinearLeakyReLU(32, name="conv1")(f, train=train)
-        x1 = mean_pool(f)
+        n = xyz.shape[1]
+        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+        x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
+
+        f = _edge_vn_planes(x, 16)
+        f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(f, train=train)
+        x1 = _pool_edge_planes(f, n, 16)
 
         coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-        f = _edge_vn(f_q, 16)  # dynamic feature-space graph
-        f = VNLinearLeakyReLU(64, name="conv4")(f, train=train)
-        f = mean_pool(f)
+        f = _edge_vn_planes(f_q, 16)  # dynamic feature-space graph
+        f = VNLinearLeakyReLU(64, layout="plane", name="conv4")(f, train=train)
+        f = _pool_edge_planes(f, 512, 16)
 
-        f = _edge_vn(f, 16)
-        f = VNLinearLeakyReLU(64, name="conv5")(f, train=train)
-        f = mean_pool(f)
+        f = _edge_vn_planes(f, 16)
+        f = VNLinearLeakyReLU(64, layout="plane", name="conv5")(f, train=train)
+        f = _pool_edge_planes(f, 512, 16)
 
         coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-        f = _edge_vn(f_q, 16)
-        f = VNLinearLeakyReLU(128, name="conv6")(f, train=train)
-        f = mean_pool(f)  # (B, 128, 3, 128)
-        return coor_q, f
+        f = _edge_vn_planes(f_q, 16)
+        f = VNLinearLeakyReLU(128, layout="plane", name="conv6")(f, train=train)
+        f = _pool_edge_planes(f, 128, 16)  # (B, 3, 128, 128)
+        # public contract stays vec layout (B, 128, 3, 128)
+        return coor_q, jnp.swapaxes(f, 1, 2)
 
 
 def pos_encoding_sin_wave(coor: jnp.ndarray, num_freqs: int = 64) -> jnp.ndarray:

@@ -75,6 +75,26 @@ def graph_feature(
     return jnp.concatenate([nbr - ctr, ctr], axis=1)
 
 
+def vn_graph_feature_planes(
+    x_q: jnp.ndarray, x_k: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Plane-layout VN EdgeConv feature with the neighbour axis flattened.
+
+    x_q: (B, 3, C, Nq), x_k: (B, 3, C, Nk), idx: (B, Nq, K).
+    Returns (B, 3, 2C, Nq*K) — ready for plane-layout VNLinearLeakyReLU (a
+    1x1 conv is pointwise over (N, K), so the flatten is free); reshape to
+    (..., Nq, K) afterwards for the neighbour pooling.
+    """
+    b, _, c, nk = x_k.shape
+    nq, k = idx.shape[1], idx.shape[2]
+    flatk = x_k.transpose(0, 3, 1, 2).reshape(b, nk, 3 * c)
+    nbr = gather_neighbors(flatk, idx)  # (B, Nq, K, 3C)
+    nbr = nbr.reshape(b, nq, k, 3, c).transpose(0, 3, 4, 1, 2)  # (B,3,C,Nq,K)
+    ctr = jnp.broadcast_to(x_q[:, :, :, :, None], nbr.shape)
+    feat = jnp.concatenate([nbr - ctr, ctr], axis=2)  # (B, 3, 2C, Nq, K)
+    return feat.reshape(b, 3, 2 * c, nq * k)
+
+
 def vn_graph_feature(
     x_q: jnp.ndarray, x_k: jnp.ndarray, idx: jnp.ndarray
 ) -> jnp.ndarray:

@@ -44,7 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-6  # models/vn_layers.py:10 — must match nn.vn.EPS
 
 TN = 512  # point tile
-TC = 128  # channel tile
+
+
+def _tc_for(c: int) -> int:
+    """Channel tile: full C for thin layers (sublane-aligned), else 128."""
+    if c % 128 == 0:
+        return 128
+    if c <= 128 and c % 16 == 0:
+        return c
+    return 0  # ineligible
 
 
 def reference_bn_leaky_planes(p, d, a, b, negative_slope):
@@ -60,7 +68,7 @@ def reference_bn_leaky_planes(p, d, a, b, negative_slope):
     return (q - coef * d32).astype(p.dtype)
 
 
-def _fwd_kernel(ns_ref, p_ref, d_ref, a_ref, b_ref, out_ref):
+def _fwd_kernel(ns_ref, p_ref, d_ref, a_ref, b_ref, out_ref, *, tc):
     ns = ns_ref[0]
     p0 = p_ref[0, 0].astype(jnp.float32)
     p1 = p_ref[0, 1].astype(jnp.float32)
@@ -68,8 +76,8 @@ def _fwd_kernel(ns_ref, p_ref, d_ref, a_ref, b_ref, out_ref):
     d0 = d_ref[0, 0].astype(jnp.float32)
     d1 = d_ref[0, 1].astype(jnp.float32)
     d2 = d_ref[0, 2].astype(jnp.float32)
-    a = a_ref[0, :].reshape(TC, 1)
-    b = b_ref[0, :].reshape(TC, 1)
+    a = a_ref[0, :].reshape(tc, 1)
+    b = b_ref[0, :].reshape(tc, 1)
 
     norm_e = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2) + EPS  # (TC, TN)
     s = a + b / norm_e
@@ -83,7 +91,7 @@ def _fwd_kernel(ns_ref, p_ref, d_ref, a_ref, b_ref, out_ref):
 
 
 def _bwd_kernel(ns_ref, nvalid_ref, p_ref, d_ref, a_ref, b_ref, g_ref,
-                dp_ref, dd_ref, da_ref, db_ref):
+                dp_ref, dd_ref, da_ref, db_ref, *, tc):
     ns = ns_ref[0]
     n_valid = nvalid_ref[0]
     j = pl.program_id(1)
@@ -93,8 +101,8 @@ def _bwd_kernel(ns_ref, nvalid_ref, p_ref, d_ref, a_ref, b_ref, g_ref,
     d0 = d_ref[0, 0].astype(jnp.float32)
     d1 = d_ref[0, 1].astype(jnp.float32)
     d2 = d_ref[0, 2].astype(jnp.float32)
-    a = a_ref[0, :].reshape(TC, 1)
-    b = b_ref[0, :].reshape(TC, 1)
+    a = a_ref[0, :].reshape(tc, 1)
+    b = b_ref[0, :].reshape(tc, 1)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + j * TN
     valid = (col < n_valid).astype(jnp.float32)  # (1, TN)
@@ -140,7 +148,7 @@ def eligible(p) -> bool:
     return (
         p.ndim == 4
         and p.shape[1] == 3
-        and p.shape[2] % TC == 0
+        and _tc_for(p.shape[2]) > 0
         and p.shape[3] >= TN
     )
 
@@ -151,10 +159,10 @@ def _pad_n(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, n_pad - x.shape[3])))
 
 
-def _block_specs():
-    data = pl.BlockSpec((1, 3, TC, TN), lambda i, j, k: (i, 0, k, j),
+def _block_specs(tc):
+    data = pl.BlockSpec((1, 3, tc, TN), lambda i, j, k: (i, 0, k, j),
                         memory_space=pltpu.VMEM)
-    ab = pl.BlockSpec((1, TC), lambda i, j, k: (0, k), memory_space=pltpu.VMEM)
+    ab = pl.BlockSpec((1, tc), lambda i, j, k: (0, k), memory_space=pltpu.VMEM)
     return data, ab
 
 
@@ -167,13 +175,14 @@ def fused_bn_leaky(p, d, a, b, negative_slope: float, interpret: bool = False):
 
 def _fused_fwd(p, d, a, b, negative_slope, interpret):
     bsz, _, c, n = p.shape
+    tc = _tc_for(c)
     n_pad = -(-n // TN) * TN
     p_p, d_p = _pad_n(p, n_pad), _pad_n(d, n_pad)
-    data_spec, ab_spec = _block_specs()
-    grid = (bsz, n_pad // TN, c // TC)
+    data_spec, ab_spec = _block_specs(tc)
+    grid = (bsz, n_pad // TN, c // tc)
     ns_arr = jnp.full((1,), negative_slope, jnp.float32)
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, tc=tc),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   data_spec, data_spec, ab_spec, ab_spec],
@@ -187,17 +196,18 @@ def _fused_fwd(p, d, a, b, negative_slope, interpret):
 def _fused_bwd(negative_slope, interpret, res, g):
     p, d, a, b = res
     bsz, _, c, n = p.shape
+    tc = _tc_for(c)
     n_pad = -(-n // TN) * TN
     p_p, d_p, g_p = _pad_n(p, n_pad), _pad_n(d, n_pad), _pad_n(g, n_pad)
-    data_spec, ab_spec = _block_specs()
+    data_spec, ab_spec = _block_specs(tc)
     nb = n_pad // TN
-    grid = (bsz, nb, c // TC)
+    grid = (bsz, nb, c // tc)
     ns_arr = jnp.full((1,), negative_slope, jnp.float32)
     nv_arr = jnp.full((1,), n, jnp.int32)
-    part_spec = pl.BlockSpec((1, 1, 1, TC), lambda i, j, k: (i, j, 0, k),
+    part_spec = pl.BlockSpec((1, 1, 1, tc), lambda i, j, k: (i, j, 0, k),
                              memory_space=pltpu.VMEM)
     dp, dd, da_part, db_part = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, tc=tc),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
