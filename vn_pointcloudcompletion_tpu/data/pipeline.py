@@ -10,10 +10,8 @@ the GIL in NumPy/C++), then pushed to device asynchronously two batches ahead
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import numpy as np

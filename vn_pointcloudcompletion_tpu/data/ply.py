@@ -12,9 +12,6 @@ the loader).
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import numpy as np
 
 _PLY_TYPES = {

@@ -14,8 +14,6 @@ image (process_exr.py's intrinsics).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

@@ -14,7 +14,7 @@ list per process so each host feeds only its devices (SURVEY.md §5
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

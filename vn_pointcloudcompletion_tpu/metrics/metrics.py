@@ -11,7 +11,6 @@
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from vn_pointcloudcompletion_tpu.ops.chamfer import chamfer_distance

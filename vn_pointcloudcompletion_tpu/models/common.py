@@ -11,7 +11,6 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init
 

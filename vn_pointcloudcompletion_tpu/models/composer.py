@@ -13,8 +13,6 @@ is handled in the trainer via optax parameter masks — functional JAX has no
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 
 from vn_pointcloudcompletion_tpu.models.dgcnn import DGCNNfps, VNDGCNNfps

@@ -28,7 +28,6 @@ from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinear,
     VNLinearLeakyReLU,
     VNMaxPool,
-    mean_pool,
 )
 from vn_pointcloudcompletion_tpu.ops.fps import fps, furthest_point_sample
 from vn_pointcloudcompletion_tpu.ops.knn import graph_feature, knn, vn_graph_feature

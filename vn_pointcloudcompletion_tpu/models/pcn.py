@@ -17,14 +17,12 @@ decoders take ``(coarse, feature_global, rot)`` and return the dense cloud.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from vn_pointcloudcompletion_tpu.models.common import BatchNormCh, ConvCh, DenseTorch
-from vn_pointcloudcompletion_tpu.nn.attention import VNBlock, to_scalar, to_vn
+from vn_pointcloudcompletion_tpu.nn.attention import VNBlock, to_vn
 from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinear,
     VNLinearAndLeakyReLU,

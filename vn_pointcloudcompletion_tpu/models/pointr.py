@@ -22,8 +22,6 @@ because the upstream code paths are broken or dead):
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -49,7 +47,6 @@ from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinearAndLeakyReLU,
     VNLinearLeakyReLU,
     VNMaxPool,
-    mean_pool,
 )
 from vn_pointcloudcompletion_tpu.models.common import DenseTorch
 from vn_pointcloudcompletion_tpu.ops.fps import fps

@@ -29,7 +29,6 @@ from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinearLeakyReLU,
     VNMaxPool,
     mean_pool,
-    torch_linear_init,
 )
 from vn_pointcloudcompletion_tpu.ops.knn import vn_graph_feature, gather_neighbors
 

@@ -13,8 +13,6 @@ the reference exactly; see per-class citations.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ Design (TPU-first, not a kernel translation):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

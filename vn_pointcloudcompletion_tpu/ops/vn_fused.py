@@ -34,7 +34,6 @@ Backward (verified against jnp autodiff in tests):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

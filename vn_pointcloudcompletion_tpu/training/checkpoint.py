@@ -14,11 +14,9 @@ Encoder-subtree loading for ``enc_pretrained`` (model.py:29-39) restores just
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
 
 import flax
 import jax
-import numpy as np
 
 
 def _atomic_write(path: str, data: bytes) -> None:

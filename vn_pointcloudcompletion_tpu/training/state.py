@@ -14,9 +14,8 @@ functional JAX's equivalent of ``requires_grad=False``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax

@@ -10,9 +10,6 @@ clouds and forwards it to the decoder for seed rotation (train.py:130-143).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
