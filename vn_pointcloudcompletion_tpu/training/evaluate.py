@@ -55,11 +55,14 @@ def _make_metric_step(config: Config, with_emd: bool = False):
         iou = jax.vmap(voxel_iou)(pred, complete)
         out = {"l1": l1, "l2": l2, "f": fs, "iou": iou}
         if with_emd:
-            # per-point EMD against an equal-size slice (test.py:139-182)
-            out["emd"] = (
-                earth_mover_distance(pred, complete[:, : pred.shape[1]])
-                / pred.shape[1]
-            )
+            # per-point EMD against an equal-size slice (test.py:139-182).
+            # lax.map processes one sample at a time: the (M, N) soft-match
+            # matrix at 16384 points is ~1 GB — a full batch would not fit.
+            gt_slice = complete[:, : pred.shape[1]]
+            out["emd"] = jax.lax.map(
+                lambda pc: earth_mover_distance(pc[0][None], pc[1][None])[0],
+                (pred, gt_slice),
+            ) / pred.shape[1]
         return out, pred
 
     return jax.jit(metric_step)
