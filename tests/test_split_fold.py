@@ -47,6 +47,35 @@ class TestVNSplitFold:
         out_fused = fused.apply(vf, feat, train=False)
         np.testing.assert_allclose(out_split, out_fused, atol=1e-5)
 
+    def test_pair_fold_matches_fused_concat(self, rng):
+        from vn_pointcloudcompletion_tpu.models.pcn import _VNSplitPairFoldLayer
+
+        b, cf, n, s, out = 2, 16, 8, 4, 8
+        feat = jnp.asarray(rng.standard_normal((b, 3, cf, n)).astype(np.float32))
+        var = jnp.asarray(
+            rng.standard_normal((b, 3, 1, n * s)).astype(np.float32)
+        )
+        mod = _VNSplitPairFoldLayer(out)
+        vs = mod.init(jax.random.key(0), feat, var, s, train=False)
+        got = mod.apply(vs, feat, var, s, train=False)  # (B, 3, out, NS)
+
+        # assemble the equivalent fused layer on concat([var, feat_expanded])
+        p = vs["params"]
+        w = jnp.concatenate([p["kernel_var"], p["kernel_feat"]], axis=1)
+        d = jnp.concatenate([p["dir_kernel_var"], p["dir_kernel_feat"]], axis=1)
+        feat_e = jnp.broadcast_to(
+            feat[..., None], (b, 3, cf, n, s)
+        ).reshape(b, 3, cf, n * s)
+        x_vec = jnp.swapaxes(jnp.concatenate([var, feat_e], axis=2), 1, 2)
+        fused = VNLinearLeakyReLU(out)
+        vf = fused.init(jax.random.key(1), x_vec, train=False)
+        vf["params"]["kernel"] = w
+        vf["params"]["dir_kernel"] = d
+        want = fused.apply(vf, x_vec, train=False)  # vec (B, out, 3, NS)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5
+        )
+
     def test_scalar_matches_fused(self, rng):
         b, cg, nd, out = 2, 12, 32, 6
         glob = jnp.asarray(rng.standard_normal((b, cg)).astype(np.float32))

@@ -114,6 +114,58 @@ class _ScalarSplitFoldLayer(nn.Module):
         return out
 
 
+class _VNSplitPairFoldLayer(nn.Module):
+    """Plane-layout VN fold layer over [varying-seed | constant-feature] input.
+
+    The attention decoder folds a grid of S points around each of N centres;
+    the 384-channel centre feature is identical across the grid, so its matmul
+    contribution is contracted once per centre (B, 3, C, N) and broadcast —
+    a 16x FLOP cut on the layer — while the 1-channel varying input (seed or
+    previous fold) is mapped per (centre, grid) point.  Equivalent to
+    ``VNLinearLeakyReLU(concat([var, feat]))`` (reference models/pcn.py:450-460).
+    """
+
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, feat, var, s: int, train: bool = False):
+        # feat: (B, 3, Cf, N); var: (B, 3, 1, N*S)
+        from vn_pointcloudcompletion_tpu.nn.vn import (
+            EPS,
+            _FoldedBN,
+            _channel_linear_plane,
+            torch_linear_init,
+        )
+        from vn_pointcloudcompletion_tpu.ops import vn_fused
+
+        b, _, cf, n = feat.shape
+        ns = n * s
+        wv = self.param("kernel_var", torch_linear_init, (self.out_channels, 1))
+        wf = self.param("kernel_feat", torch_linear_init, (self.out_channels, cf))
+        dv = self.param("dir_kernel_var", torch_linear_init, (self.out_channels, 1))
+        df = self.param("dir_kernel_feat", torch_linear_init, (self.out_channels, cf))
+
+        def expand(per_center):
+            # (B, 3, out, N) -> (B, 3, out, N*S)
+            e = jnp.broadcast_to(
+                per_center[..., None], per_center.shape + (s,)
+            )
+            return e.reshape(b, 3, self.out_channels, ns)
+
+        p = expand(_channel_linear_plane(wf, feat)) + _channel_linear_plane(wv, var)
+        d = expand(_channel_linear_plane(df, feat)) + _channel_linear_plane(dv, var)
+        bn = _FoldedBN(self.out_channels, name="batchnorm")
+        if train:
+            norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+            a, bb = bn(norm, True)
+        else:
+            a, bb = bn(None, False)
+        if vn_fused.eligible(p) and jax.default_backend() == "tpu":
+            return vn_fused.fused_bn_leaky(p, d, a, bb, self.negative_slope)
+        return vn_fused.reference_bn_leaky_planes(p, d, a, bb, self.negative_slope)
+
+
 def _dense_layout(coarse: jnp.ndarray, grid_size: int):
     """Tile each coarse point over its fold grid, reference ordering.
 
@@ -389,22 +441,29 @@ class AttentionVNFoldingNet(nn.Module):
                 name=f"transformer_{i}",
             )(vn_x, train=train)
 
-        # fold per centre: features (B*N, 384, 3, S)
-        feat = vn_x.transpose(0, 3, 1, 2).reshape(b * n, 384, 3, 1)
-        feat = jnp.broadcast_to(feat, (b * n, 384, 3, s))
+        # fold per centre in plane layout: centre features (B, 3, 384, N) are
+        # constant across the S grid points (split-matmul, _VNSplitPairFoldLayer)
+        feat = vn_x.transpose(0, 2, 1, 3)  # (B, 3, 384, N)
         seed = folding_grid_3d(grid_size, extent=1.0)  # (3, S)
-        seed = jnp.broadcast_to(seed[None, None], (b * n, 1, 3, s))
+        seed = jnp.broadcast_to(seed[None, :, None, None, :], (b, 3, 1, n, s))
+        seed = seed.reshape(b, 3, 1, n * s)
 
-        h = jnp.concatenate([seed, feat], axis=1)
-        h = VNLinearLeakyReLU(256, name="vn_folding1_0")(h, train=train)
-        h = VNLinearLeakyReLU(128, name="vn_folding1_1")(h, train=train)
-        fd1 = VNLinear(1, name="vn_folding1_2")(h)  # (B*N, 1, 3, S)
+        h = _VNSplitPairFoldLayer(256, name="vn_folding1_0")(
+            feat, seed, s, train=train
+        )
+        h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding1_1")(
+            h, train=train
+        )
+        fd1 = VNLinear(1, layout="plane", name="vn_folding1_2")(h)  # (B,3,1,NS)
 
-        h = jnp.concatenate([fd1, feat], axis=1)
-        h = VNLinearLeakyReLU(256, name="vn_folding2_0")(h, train=train)
-        h = VNLinearLeakyReLU(128, name="vn_folding2_1")(h, train=train)
-        fd2 = VNLinear(1, name="vn_folding2_2")(h)  # (B*N, 1, 3, S)
+        h = _VNSplitPairFoldLayer(256, name="vn_folding2_0")(
+            feat, fd1, s, train=train
+        )
+        h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding2_1")(
+            h, train=train
+        )
+        fd2 = VNLinear(1, layout="plane", name="vn_folding2_2")(h)  # (B,3,1,NS)
 
-        relative_xyz = fd2.reshape(b, n, 3, s)
+        relative_xyz = fd2[:, :, 0].reshape(b, 3, n, s).transpose(0, 2, 1, 3)
         rebuild = relative_xyz + coarse[..., None]  # (B, N, 3, S)
         return rebuild.transpose(0, 1, 3, 2).reshape(b, n * s, 3)
