@@ -93,6 +93,20 @@ class TestTrainStep:
         _, metrics = step(state, p, c, jax.random.key(1))
         assert np.isfinite(float(metrics["coarse"]))
 
+    def test_remat_step_matches_plain(self, rng):
+        p_, c_ = make_batch(rng)
+        cfg_plain = tiny_config()
+        cfg_remat = tiny_config(remat=True)
+        model = build_model(cfg_plain)
+        state = create_train_state(model, cfg_plain, 10, jax.random.key(0), p_)
+        s1, m1 = make_train_step(cfg_plain, jit=True)(state, p_, c_, jax.random.key(1))
+        s2, m2 = make_train_step(cfg_remat, jit=True)(state, p_, c_, jax.random.key(1))
+        np.testing.assert_allclose(
+            float(m1["total"]), float(m2["total"]), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_emd_coarse_loss(self, rng):
         config = tiny_config(coarse_loss="emd")
         model = build_model(config)

@@ -48,9 +48,17 @@ def make_train_step(config: Config, jit: bool = True):
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            (coarse, fine), mutated = state.apply_fn(
-                variables, partial, rot, train=True, mutable=["batch_stats"]
-            )
+
+            def fwd(variables, partial, rot):
+                return state.apply_fn(
+                    variables, partial, rot, train=True, mutable=["batch_stats"]
+                )
+
+            if config.remat:
+                # trade recompute for activation memory (jax.checkpoint) —
+                # lets memory-bound configs run larger batches
+                fwd = jax.checkpoint(fwd)
+            (coarse, fine), mutated = fwd(variables, partial, rot)
             loss1 = _coarse_loss(config, coarse, complete)
             if config.only_coarse:
                 loss2 = jnp.zeros(())
