@@ -50,3 +50,17 @@ def plot_pcd_one_view(
     fig.tight_layout()
     fig.savefig(filename, dpi=120)
     plt.close(fig)
+
+
+def visualize_pc(pcd: np.ndarray, title: str = "point cloud"):
+    """Interactive single-cloud viewer (reference ``o3d_visualize_pc``,
+    visualization/visualization.py:6-9) — matplotlib-based, no open3d.
+    Headless environments should use :func:`plot_pcd_one_view` instead."""
+    import matplotlib.pyplot as plt
+
+    pcd = np.asarray(pcd)
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pcd[:, 0], pcd[:, 1], pcd[:, 2], s=0.5, c=pcd[:, 0], cmap="Reds")
+    ax.set_title(title)
+    plt.show()
