@@ -86,9 +86,11 @@ def train(config: Config, resume: bool = False,
         train_dataset, config.batch_size, shuffle=True, seed=config.seed,
         num_workers=config.num_workers,
     )
+    # a sharded mesh step needs every batch divisible by the mesh; the val
+    # denominator stays len(dataset) (reference semantics) either way
     val_loader = BatchLoader(
         val_dataset, config.batch_size, shuffle=False,
-        num_workers=config.num_workers, drop_last=False,
+        num_workers=config.num_workers, drop_last=mesh is not None,
     )
     log_dataset.info("Dataset loaded!")
 
