@@ -28,11 +28,11 @@ def shard_state(state, mesh):
 
 def make_parallel_steps(config: Config, mesh):
     """Returns (train_step, eval_step, batch_sharding) jitted over the mesh."""
-    n_dev = mesh.devices.size
-    if config.batch_size % n_dev != 0:
+    n_data = mesh.shape["data"]
+    if config.batch_size % n_data != 0:
         raise ValueError(
-            f"batch_size={config.batch_size} must be divisible by the data-"
-            f"mesh size {n_dev}"
+            f"batch_size={config.batch_size} must be divisible by the mesh's "
+            f"'data' axis size {n_data}"
         )
     rep = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))

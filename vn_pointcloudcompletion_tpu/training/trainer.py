@@ -76,6 +76,15 @@ def train(config: Config, resume: bool = False,
 
     set_compute_dtype(from_config_dtype(config.dtype))
 
+    if mesh is not None:
+        # fail fast on pure-config errors before datasets/model are built
+        n_data = mesh.shape["data"]
+        if config.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={config.batch_size} must be divisible by the "
+                f"mesh's 'data' axis size {n_data}"
+            )
+
     visual_dir = os.path.join(config.exp_dir, "visualizations")
     train_writer = SummaryWriter(os.path.join(config.exp_dir, "train"))
     val_writer = SummaryWriter(os.path.join(config.exp_dir, "val"))
@@ -194,16 +203,28 @@ def train(config: Config, resume: bool = False,
         val = {"coarse": 0.0, "dense": 0.0}
         rand_iter = int(rng_np.integers(0, max(len(val_loader), 1)))
         viz = None
-        for i, (p, c) in enumerate(device_prefetch(val_loader)):
+        n_evaluated = 0
+        for i, (p, c) in enumerate(
+            device_prefetch(val_loader, sharding=batch_sharding)
+        ):
             rng, step_rng = jax.random.split(rng)
             out, clouds = eval_step(state, p, c, step_rng)
             val["coarse"] += float(out["coarse_sum"])
             val["dense"] += float(out["dense_sum"])
+            n_evaluated += p.shape[0]
             if i == rand_iter:
                 viz = jax.tree.map(
                     lambda x: None if x is None else np.asarray(x), clouds
                 )
-        n_val = max(len(val_dataset), 1)
+        # mean over the samples actually evaluated (== len(dataset) unless a
+        # mesh forces drop_last); zero evaluated batches must never become a
+        # best_cd of 0.0 — that would poison checkpoint selection forever
+        if n_evaluated == 0:
+            log.warning(
+                "validation evaluated 0 batches (dataset smaller than the "
+                "mesh-divisible batch size); skipping best-checkpoint update"
+            )
+        n_val = max(n_evaluated, 1)
         val_coarse = val["coarse"] / n_val
         val_dense = val["dense"] / n_val
         # reference semantics: "total" double-counts coarse+dense sums
@@ -223,7 +244,7 @@ def train(config: Config, resume: bool = False,
             _save_epoch_png(visual_dir, epoch, viz, config, rng_np)
 
         # ---- checkpoints ----
-        if val_total < best_cd_l1:
+        if n_evaluated > 0 and val_total < best_cd_l1:
             best_epoch_l1, best_cd_l1 = epoch, val_total
             save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
                             best_epoch_l1, "best")
