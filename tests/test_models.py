@@ -157,8 +157,9 @@ class TestVNPCTransformer:
         xyz = jnp.asarray(rng.standard_normal((1, 600, 3)).astype(np.float32))
         model = VNPCTransformer(enc_depth=1, dec_depth=1, num_query=32,
                                 only_coarse=False)
-        _, ((c, c_cat), fg) = init_and_run(model, xyz)
+        _, ((c, c_cat), (fg, q)) = init_and_run(model, xyz)
         assert c.shape == (1, 32, 3) and c_cat.shape == (1, 64, 3)
+        assert q.shape == (1, 32, 384)  # refined per-query decoder features
 
     def test_scalar_variant(self, rng):
         xyz = jnp.asarray(rng.standard_normal((1, 600, 3)).astype(np.float32))

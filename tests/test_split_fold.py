@@ -94,5 +94,5 @@ class TestVNSplitFold:
             [np.broadcast_to(np.asarray(glob)[:, :, None], (b, cg, nd)),
              np.asarray(seed), np.asarray(point)], axis=1
         )
-        want = np.einsum("oc,bcn->bon", w, feat) + np.asarray(p["bias"])[None, :, 0, None]
+        want = np.einsum("oc,bcn->bon", w, feat) + np.asarray(p["bias"])[None, :, None]
         np.testing.assert_allclose(got, want, atol=1e-5)

@@ -25,11 +25,15 @@ class ConvCh(nn.Module):
     def __call__(self, x):
         from vn_pointcloudcompletion_tpu.nn.vn import _channel_linear
 
+        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init_fan
+
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
         y = _channel_linear(w, x)
         if self.use_bias:
-            b = self.param("bias", torch_linear_init, (self.out_channels, c_in))[:, 0]
+            b = self.param(
+                "bias", torch_linear_init_fan(c_in), (self.out_channels,)
+            )
             extra = (1,) * (y.ndim - 2)
             y = y + b.reshape((1, self.out_channels) + extra).astype(y.dtype)
         return y
@@ -82,10 +86,12 @@ class DenseTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init_fan
+
         fan_in = x.shape[-1]
         w = self.param("kernel", torch_linear_init, (self.features, fan_in))
         y = jnp.einsum("...c,oc->...o", x, w)
         if self.use_bias:
-            b = self.param("bias", torch_linear_init, (self.features, fan_in))[:, 0]
+            b = self.param("bias", torch_linear_init_fan(fan_in), (self.features,))
             y = y + b
         return y

@@ -52,6 +52,11 @@ class PCNNet(nn.Module):
         elif self.enc_type == "vn_pointnet":
             encoder = VNPointNet(self.num_coarse, name="encoder")
         elif self.enc_type == "vn_pointr":
+            if self.num_coarse != 448:
+                raise ValueError(
+                    "enc_type='vn_pointr' requires num_coarse=448 (224 "
+                    "predicted + 224 FPS; reference model.py:23-24 contract)"
+                )
             encoder = VNPCTransformer(
                 embed_dim=384, enc_depth=6, dec_depth=8, num_query=224,
                 knn_layer=1, dgcnn="vn_dgcnn", trans="vn_trans",

@@ -30,7 +30,7 @@ from vn_pointcloudcompletion_tpu.nn.vn import (
     VNMaxPool,
 )
 from vn_pointcloudcompletion_tpu.ops.fps import fps, furthest_point_sample
-from vn_pointcloudcompletion_tpu.ops.knn import graph_feature, knn, vn_graph_feature
+from vn_pointcloudcompletion_tpu.ops.knn import graph_feature, knn
 
 
 def fps_downsample_scalar(coor, x, num_group):
@@ -59,22 +59,6 @@ def _edge_scalar(coor_q, x_q, coor_k, x_k, k=16):
     return graph_feature(x_q, x_k, idx)  # (B, 2C, Nq, K)
 
 
-def _edge_vn(x, k=16, coords=None):
-    """VN EdgeConv features (reference :250-278).
-
-    kNN graph over ``coords`` (B, 3, N) when given, else dynamically over the
-    flattened (B, 3C, N) feature space.
-    """
-    if coords is None:
-        b, c, _, n = x.shape
-        flat = x.reshape(b, c * 3, n).transpose(0, 2, 1)
-        _, idx = knn(flat, flat, k)
-    else:
-        pts = coords.transpose(0, 2, 1)
-        _, idx = knn(pts, pts, k)
-    return vn_graph_feature(x, x, idx)  # (B, 2C, 3, N, K)
-
-
 def _edge_vn_planes(x, k=16, coords=None):
     """Plane-layout VN EdgeConv features with flattened neighbour axis.
 
@@ -100,6 +84,31 @@ def _pool_edge_planes(f, n, k):
     return f.reshape(b, 3, c, n, k).mean(axis=-1)
 
 
+def scalar_edge_trunk(xyz, train: bool = False):
+    """Shared scalar EdgeConv/FPS trunk: 3->8->32->64->64->128 channels over
+    FPS 2048->512->128 (reference models/dgcnn.py:121-148 ==
+    dgcnn_group.py:81-107).  Must be called inside an ``nn.compact`` __call__;
+    layers attach to the caller's scope under the reference's layer names.
+    Returns (coor (B, 3, 128), f (B, 128, 128))."""
+    coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+    f = ConvCh(8, name="input_trans")(coor)
+
+    def layer(h, out, name):
+        h = ConvCh(out, use_bias=False, name=f"{name}_conv")(h)
+        h = GroupNormCh(4, name=f"{name}_gn")(h)
+        h = nn.leaky_relu(h, 0.2)
+        return jnp.max(h, axis=-1)  # over K
+
+    f = layer(_edge_scalar(coor, f, coor, f), 32, "layer1")  # (B, 32, N)
+    coor_q, f_q = fps_downsample_scalar(coor, f, 512)
+    f = layer(_edge_scalar(coor_q, f_q, coor, f), 64, "layer2")
+    coor = coor_q  # (B, 3, 512)
+    f = layer(_edge_scalar(coor, f, coor, f), 64, "layer3")
+    coor_q, f_q = fps_downsample_scalar(coor, f, 128)
+    f = layer(_edge_scalar(coor_q, f_q, coor, f), 128, "layer4")  # (B, 128, 128)
+    return coor_q, f
+
+
 class DGCNNfps(nn.Module):
     """Scalar DGCNN encoder with FPS downsampling (reference :19-161)."""
 
@@ -110,22 +119,7 @@ class DGCNNfps(nn.Module):
     def __call__(self, xyz, train: bool = False):
         nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
         b = xyz.shape[0]
-        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-        f = ConvCh(8, name="input_trans")(coor)
-
-        def layer(h, out, name):
-            h = ConvCh(out, use_bias=False, name=f"{name}_conv")(h)
-            h = GroupNormCh(4, name=f"{name}_gn")(h)
-            h = nn.leaky_relu(h, 0.2)
-            return jnp.max(h, axis=-1)  # over K
-
-        f = layer(_edge_scalar(coor, f, coor, f), 32, "layer1")  # (B, 32, N)
-        coor_q, f_q = fps_downsample_scalar(coor, f, 512)
-        f = layer(_edge_scalar(coor_q, f_q, coor, f), 64, "layer2")
-        coor = coor_q  # (B, 3, 512)
-        f = layer(_edge_scalar(coor, f, coor, f), 64, "layer3")
-        coor_q, f_q = fps_downsample_scalar(coor, f, 128)
-        f = layer(_edge_scalar(coor_q, f_q, coor, f), 128, "layer4")  # (B, 128, 128)
+        _, f = scalar_edge_trunk(xyz, train)
 
         g = ConvCh(1024, name="increase_dim_0")(f)
         g = BatchNormCh(name="increase_bn")(g, train=train)

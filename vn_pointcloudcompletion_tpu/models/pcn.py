@@ -57,22 +57,25 @@ class _VNSplitFoldLayer(nn.Module):
             EPS,
             _FoldedBN,
             _channel_linear_plane,
-            torch_linear_init,
+            torch_linear_init_fan,
         )
         from vn_pointcloudcompletion_tpu.ops import vn_fused
 
         cg = glob_planes.shape[2]
-        wg = self.param("kernel_global", torch_linear_init, (self.out_channels, cg))
-        ws = self.param("kernel_seed", torch_linear_init, (self.out_channels, 1))
-        wp = self.param("kernel_point", torch_linear_init, (self.out_channels, 1))
+        # all split kernels draw from the concatenated fan-in (cg + 2) so the
+        # init matches the reference's single Linear over the concat
+        init = torch_linear_init_fan(cg + 2)
+        wg = self.param("kernel_global", init, (self.out_channels, cg))
+        ws = self.param("kernel_seed", init, (self.out_channels, 1))
+        wp = self.param("kernel_point", init, (self.out_channels, 1))
         p = (
             _channel_linear_plane(wg, glob_planes)  # (B, 3, out, 1) — per sample
             + _channel_linear_plane(ws, seed_planes)
             + _channel_linear_plane(wp, point_planes)
         )
-        dg = self.param("dir_kernel_global", torch_linear_init, (self.out_channels, cg))
-        ds = self.param("dir_kernel_seed", torch_linear_init, (self.out_channels, 1))
-        dp = self.param("dir_kernel_point", torch_linear_init, (self.out_channels, 1))
+        dg = self.param("dir_kernel_global", init, (self.out_channels, cg))
+        ds = self.param("dir_kernel_seed", init, (self.out_channels, 1))
+        dp = self.param("dir_kernel_point", init, (self.out_channels, 1))
         d = (
             _channel_linear_plane(dg, glob_planes)
             + _channel_linear_plane(ds, seed_planes)
@@ -98,13 +101,14 @@ class _ScalarSplitFoldLayer(nn.Module):
 
     @nn.compact
     def __call__(self, glob, seed, point):
-        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init
+        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init_fan
 
         cg = glob.shape[1]
-        wg = self.param("kernel_global", torch_linear_init, (self.out_channels, cg))
-        ws = self.param("kernel_seed", torch_linear_init, (self.out_channels, 2))
-        wp = self.param("kernel_point", torch_linear_init, (self.out_channels, 3))
-        b = self.param("bias", torch_linear_init, (self.out_channels, cg + 5))[:, 0]
+        init = torch_linear_init_fan(cg + 5)  # concat fan-in, see class above
+        wg = self.param("kernel_global", init, (self.out_channels, cg))
+        ws = self.param("kernel_seed", init, (self.out_channels, 2))
+        wp = self.param("kernel_point", init, (self.out_channels, 3))
+        b = self.param("bias", init, (self.out_channels,))
         out = (
             (glob @ wg.T)[:, :, None]  # (B, out, 1)
             + jnp.einsum("oc,bcn->bon", ws, seed)
@@ -135,16 +139,17 @@ class _VNSplitPairFoldLayer(nn.Module):
             EPS,
             _FoldedBN,
             _channel_linear_plane,
-            torch_linear_init,
+            torch_linear_init_fan,
         )
         from vn_pointcloudcompletion_tpu.ops import vn_fused
 
         b, _, cf, n = feat.shape
         ns = n * s
-        wv = self.param("kernel_var", torch_linear_init, (self.out_channels, 1))
-        wf = self.param("kernel_feat", torch_linear_init, (self.out_channels, cf))
-        dv = self.param("dir_kernel_var", torch_linear_init, (self.out_channels, 1))
-        df = self.param("dir_kernel_feat", torch_linear_init, (self.out_channels, cf))
+        init = torch_linear_init_fan(cf + 1)  # concat fan-in
+        wv = self.param("kernel_var", init, (self.out_channels, 1))
+        wf = self.param("kernel_feat", init, (self.out_channels, cf))
+        dv = self.param("dir_kernel_var", init, (self.out_channels, 1))
+        df = self.param("dir_kernel_feat", init, (self.out_channels, cf))
 
         def expand(per_center):
             # (B, 3, out, N) -> (B, 3, out, N*S)

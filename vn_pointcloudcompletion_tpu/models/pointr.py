@@ -16,7 +16,9 @@ because the upstream code paths are broken or dead):
    and breaks PCNNet's tuple indexing (model.py:55-59).  Like the other 448
    encoders, this returns ``((coarse_224, coarse_448), feature_global)``.
 2. The full decoder path (only_coarse=False) is implemented with working
-   VNDecoderBlocks; upstream's is unreachable dead code that would crash
+   VNDecoderBlocks and returns the refined query features alongside the
+   global feature (``feature = (global, queries)``) for downstream rebuild
+   heads; upstream's decoder stack is unreachable dead code that would crash
    (see nn/attention.py VNDecoderBlock docstring).
 """
 
@@ -28,7 +30,6 @@ import jax.numpy as jnp
 from vn_pointcloudcompletion_tpu.models.common import BatchNormCh, ConvCh
 from vn_pointcloudcompletion_tpu.models.dgcnn import (
     _edge_scalar,
-    _edge_vn,
     fps_downsample_scalar,
     fps_downsample_vn,
 )
@@ -59,23 +60,9 @@ class DGCNNGrouper(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
-        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-        f = ConvCh(8, name="input_trans")(coor)
+        from vn_pointcloudcompletion_tpu.models.dgcnn import scalar_edge_trunk
 
-        def layer(h, out, name):
-            h = ConvCh(out, use_bias=False, name=f"{name}_conv")(h)
-            h = GroupNormCh(4, name=f"{name}_gn")(h)
-            h = nn.leaky_relu(h, 0.2)
-            return jnp.max(h, axis=-1)
-
-        f = layer(_edge_scalar(coor, f, coor, f), 32, "layer1")
-        coor_q, f_q = fps_downsample_scalar(coor, f, 512)
-        f = layer(_edge_scalar(coor_q, f_q, coor, f), 64, "layer2")
-        coor = coor_q
-        f = layer(_edge_scalar(coor, f, coor, f), 64, "layer3")
-        coor_q, f_q = fps_downsample_scalar(coor, f, 128)
-        f = layer(_edge_scalar(coor_q, f_q, coor, f), 128, "layer4")
-        return coor_q, f
+        return scalar_edge_trunk(xyz, train)
 
 
 class VNDGCNNGrouper(nn.Module):
@@ -116,6 +103,57 @@ class VNDGCNNGrouper(nn.Module):
         f = _pool_edge_planes(f, 128, 16)  # (B, 3, 128, 128)
         # public contract stays vec layout (B, 128, 3, 128)
         return coor_q, jnp.swapaxes(f, 1, 2)
+
+
+_CONV_NAMES = (
+    "input_trans", "layer1_conv", "layer2_conv", "layer3_conv", "layer4_conv",
+    "input_proj_0", "input_proj_1", "pos_embed_0", "pos_embed_1",
+    "increase_dim_0", "increase_dim_1", "mlp_query_0", "mlp_query_1",
+    "mlp_query_2",
+)
+
+
+def reinit_pointr_params(params, key):
+    """Replicate the reference's recursive ``_init_weights`` pass
+    (vn_pointr.py:541-553, applied via ``self.apply`` at :535): every Linear
+    weight — including the VN layers' channel maps — redrawn
+    trunc_normal(std=0.02), Conv1d weights xavier_normal, biases zero, norm
+    scales one.  Applied to the vn_pointr encoder subtree after flax init so
+    parity runs share the reference's weight distribution.
+    """
+    import jax as _jax
+
+    flat = list(_jax.tree_util.tree_flatten_with_path(params)[0])
+    treedef = _jax.tree_util.tree_structure(params)
+    keys = _jax.random.split(key, len(flat))
+    new_leaves = []
+    for (path, leaf), k in zip(flat, keys):
+        names = [p.key for p in path if hasattr(p, "key")]
+        leaf_name = names[-1] if names else ""
+        parent = names[-2] if len(names) > 1 else ""
+        if leaf_name == "bias":
+            new_leaves.append(jnp.zeros_like(leaf))
+        elif leaf_name == "scale":
+            new_leaves.append(jnp.ones_like(leaf))
+        elif leaf_name in ("kernel", "dir_kernel") and leaf.ndim == 2:
+            if any(n in _CONV_NAMES for n in names):
+                # Conv1d -> xavier_normal (fan avg)
+                fan_in, fan_out = leaf.shape[-1], leaf.shape[-2]
+                std = float((2.0 / (fan_in + fan_out)) ** 0.5)
+                new_leaves.append(
+                    _jax.random.normal(k, leaf.shape, leaf.dtype) * std
+                )
+            else:
+                # Linear -> trunc_normal(std=0.02) on [-2std, 2std]
+                new_leaves.append(
+                    _jax.random.truncated_normal(k, -2.0, 2.0, leaf.shape,
+                                                 leaf.dtype) * 0.02
+                )
+        elif leaf_name == "transform_kernel":
+            new_leaves.append(jnp.zeros_like(leaf))
+        else:
+            new_leaves.append(leaf)
+    return _jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def pos_encoding_sin_wave(coor: jnp.ndarray, num_freqs: int = 64) -> jnp.ndarray:
@@ -268,7 +306,12 @@ class VNPCTransformer(nn.Module):
                         self_knn_idx=self_knn if i < self.knn_layer else None,
                         cross_knn_idx=cross_knn if i < self.knn_layer else None,
                     )
-            # decoder queries feed downstream heads via global_feature contract
+            inp_sparse = fps(xyz, self.num_query)
+            coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
+            # expose the refined per-query features for downstream rebuild
+            # heads (PoinTr proper folds fine points from q) — returning them
+            # keeps the decoder stack live rather than dead compute
+            return (coarse, coarse_cat), (global_feature, q)
 
         inp_sparse = fps(xyz, self.num_query)
         coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)  # (B, 2M, 3)

@@ -32,6 +32,21 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_linear_init_fan(fan_in: int):
+    """torch Linear init with an explicit fan-in.
+
+    For split-kernel layers that decompose one concat matmul into parts: each
+    part must draw from the bound of the ORIGINAL concatenated fan-in or the
+    thin splits (fan-in 1) come out ~U(-1, 1), dominating the init.
+    """
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _channel_linear(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Apply an (out, in) channel map over axis 1 of (B, C, ...).
 

@@ -148,7 +148,8 @@ def _chamfer_bwd(res, grads):
 
     gx = gx_direct + jax.vmap(scatter)(jnp.zeros_like(x), i2, -gy_direct)
     gy = gy_direct + jax.vmap(scatter)(jnp.zeros_like(y), i1, -gx_direct)
-    return gx, gy
+    # cotangents must match the primal dtypes (bf16 inputs are supported)
+    return gx.astype(res[0].dtype), gy.astype(res[1].dtype)
 
 
 chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)

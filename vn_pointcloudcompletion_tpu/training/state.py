@@ -74,6 +74,14 @@ def create_train_state(
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if config.enc_type == "vn_pointr" and "encoder" in params:
+        # the reference re-initialises the whole vn_pointr encoder subtree
+        # via _init_weights (vn_pointr.py:535,541-553)
+        from vn_pointcloudcompletion_tpu.models.pointr import reinit_pointr_params
+
+        reinit_rng = jax.random.fold_in(rng, 0x1217)
+        params = dict(params)
+        params["encoder"] = reinit_pointr_params(params["encoder"], reinit_rng)
     tx = make_optimizer(config, steps_per_epoch)
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
