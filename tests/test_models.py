@@ -195,3 +195,39 @@ class TestPCNNet:
         _, (coarse, fine) = init_and_run(model, xyz)
         assert coarse.shape == (1, 448, 3)
         assert fine.shape == (1, 14336, 3)
+
+
+class TestPointrInit:
+    def test_reinit_matches_reference_distribution(self, rng):
+        # the reference's _init_weights: trunc_normal(0.02) Linears,
+        # xavier_normal Conv1d, zero biases, unit norm scales
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.models.composer import build_model
+        from vn_pointcloudcompletion_tpu.training.state import create_train_state
+        from vn_pointcloudcompletion_tpu.utils.config import Config
+
+        config = Config.from_dict(
+            dict(enc_type="vn_pointr", dec_type="foldingnet", num_coarse=448,
+                 latent_dim=2048, only_coarse=True, batch_size=1, lr=1e-4)
+        )
+        model = build_model(config)
+        p = jnp.zeros((1, 600, 3))
+        state = create_train_state(model, config, 10, jax.random.key(0), p)
+        enc = state.params["encoder"]
+        # VN linear kernel: trunc_normal(0.02) -> std ~ 0.0176 (+-2 sigma cut)
+        k = enc["vn_increase_dim_0"]["linear"]["kernel"]
+        assert 0.015 < float(jnp.std(k)) < 0.02
+        assert float(jnp.abs(k).max()) <= 0.04 + 1e-6
+
+    def test_vn_pointr_requires_448(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+
+        model = PCNNet(enc_type="vn_pointr", num_coarse=1024, only_coarse=True)
+        with _pytest.raises(ValueError, match="num_coarse=448"):
+            model.init(jax.random.key(0), jnp.zeros((1, 600, 3)), train=False)
