@@ -2,8 +2,8 @@
 
 Surface parity: per-batch and per-epoch tensorboardX scalars
 (``Loss/Batch/*``, ``Loss/Epoch/*``), log_frequency console logging, val-loop
-l1_cd sums divided by dataset size, one visualization PNG per epoch, best+last
-checkpoints keyed on val total CD (train.py:252-265).
+l1_cd sums averaged over evaluated samples, one visualization PNG per epoch,
+best+last checkpoints keyed on val total CD (train.py:252-265).
 
 TPU-native structure: the step is one jitted XLA program with donated batch
 buffers; batches stream through the double-buffered device prefetcher; with a
@@ -95,8 +95,9 @@ def train(config: Config, resume: bool = False,
         train_dataset, config.batch_size, shuffle=True, seed=config.seed,
         num_workers=config.num_workers,
     )
-    # a sharded mesh step needs every batch divisible by the mesh; the val
-    # denominator stays len(dataset) (reference semantics) either way
+    # a sharded mesh step needs every batch divisible by the mesh; val means
+    # divide by the number of samples actually evaluated (== len(dataset)
+    # whenever drop_last is off)
     val_loader = BatchLoader(
         val_dataset, config.batch_size, shuffle=False,
         num_workers=config.num_workers, drop_last=mesh is not None,
