@@ -267,3 +267,282 @@ class TestGraphFeatureParity:
                     )
                     np.testing.assert_allclose(feat[b, 6:, n, j], x[b, :, n],
                                                atol=1e-6)
+
+
+class TestModelParity:
+    """Full-pipeline wiring parity (BASELINE 'match under identical seeds' bar).
+
+    Transfuses reference ``VN_PointNet`` + ``VN_FoldingNet`` weights
+    (models/pcn.py:110-184,319-389 — no CUDA op on the num_coarse=1024 path)
+    into the flax rebuild via training/torch_interop.py.
+
+    The composed encoder contains two argmax pools whose top-2 dot products
+    can coincide to ~1e-10 at random init; f32 noise then flips the selected
+    index on either side and contaminates everything downstream.  So parity
+    is pinned stage-wise — every deterministic stage is fed the reference's
+    own intermediate input and must match tightly; pool index mismatches must
+    be justified ties (relative gap < 1e-5); the decoder (argmax-free) and
+    the loss close the chain end-to-end.  A layout/transpose/split-column bug
+    anywhere fails its stage outright.
+    """
+
+    @pytest.fixture(scope="class")
+    def transfused(self):
+        import importlib
+        import types
+        from types import SimpleNamespace
+
+        # stub the CUDA-only pip deps pulled in by the reference package
+        p2o = types.ModuleType("pointnet2_ops")
+        p2o.pointnet2_utils = SimpleNamespace()
+        sys.modules.setdefault("pointnet2_ops", p2o)
+        kc = types.ModuleType("knn_cuda")
+
+        class _KNNStub:
+            def __init__(self, *a, **k):
+                pass
+
+        kc.KNN = _KNNStub
+        sys.modules.setdefault("knn_cuda", kc)
+
+        # the reference pins its folding seed with .cuda() at construction
+        # (models/pcn.py:362); run it on CPU torch
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        sys.path.insert(0, REF)
+        try:
+            ref_pcn = importlib.import_module("models.pcn")
+            cfg = SimpleNamespace(num_coarse=1024, latent_dim=2048)
+            torch.manual_seed(0)
+            enc = ref_pcn.VN_PointNet(cfg)
+            dec = ref_pcn.VN_FoldingNet(cfg)
+        finally:
+            torch.Tensor.cuda = orig_cuda
+            sys.path.remove(REF)
+
+        from vn_pointcloudcompletion_tpu.training.torch_interop import (
+            vn_foldingnet_from_state_dict,
+            vn_pointnet_from_state_dict,
+        )
+
+        enc_p, enc_s = vn_pointnet_from_state_dict(enc.state_dict())
+        dec_p, dec_s = vn_foldingnet_from_state_dict(dec.state_dict(), 2048)
+        rng = np.random.default_rng(7)
+        xyz = rng.standard_normal((2, 256, 3)).astype(np.float32) * 0.3
+
+        # reference intermediates, manual forward (models/pcn.py:165-184)
+        enc.eval(), dec.eval()
+        with torch.no_grad():
+            x = torch.from_numpy(xyz)
+            feat1 = enc.first_conv(x.transpose(2, 1).unsqueeze(1))
+            fg1 = enc.maxpool1(feat1).unsqueeze(-1)
+            cat = torch.cat([fg1.expand(-1, -1, -1, 256), feat1], dim=1)
+            feat2 = enc.second_conv(cat)
+            fg2 = enc.maxpool2(feat2).unsqueeze(-1)
+            coarse = enc.mlp(fg2).reshape(-1, 1024, 3)
+            fine = dec(coarse, fg2, None)
+        ref = dict(
+            feat1=t2n(feat1), fg1=t2n(fg1), cat=t2n(cat), feat2=t2n(feat2),
+            fg2=t2n(fg2), coarse=t2n(coarse), fine=t2n(fine),
+        )
+        return enc, dec, (enc_p, enc_s), (dec_p, dec_s), xyz, ref
+
+    @staticmethod
+    def _sub(tree_pair, key):
+        p, s = tree_pair
+        v = {"params": p["trunk"][key]}
+        if key in s.get("trunk", {}):
+            v["batch_stats"] = s["trunk"][key]
+        return v
+
+    def test_first_conv_stage(self, transfused):
+        from vn_pointcloudcompletion_tpu.nn.vn import VNLinear, VNLinearLeakyReLU
+
+        _, _, encv, _, xyz, ref = transfused
+        xj = jnp.asarray(xyz).transpose(0, 2, 1)[:, :, None, :]  # (B,3,1,N)
+        f = VNLinearLeakyReLU(128, layout="plane").apply(
+            self._sub(encv, "first_conv_0"), xj, train=False
+        )
+        f = VNLinear(512, layout="plane").apply(
+            self._sub(encv, "first_conv_1"), f
+        )
+        np.testing.assert_allclose(
+            np.asarray(f).transpose(0, 2, 1, 3), ref["feat1"], atol=1e-5
+        )
+
+    def test_second_conv_stage(self, transfused):
+        # fed the reference's own concat input: no pool-tie contamination
+        from vn_pointcloudcompletion_tpu.nn.vn import VNLinear, VNLinearLeakyReLU
+
+        _, _, encv, _, _, ref = transfused
+        cat = jnp.asarray(ref["cat"]).transpose(0, 2, 1, 3)  # plane layout
+        f = VNLinearLeakyReLU(1024, layout="plane").apply(
+            self._sub(encv, "second_conv_0"), cat, train=False
+        )
+        f = VNLinear(2048, layout="plane").apply(
+            self._sub(encv, "second_conv_1"), f
+        )
+        np.testing.assert_allclose(
+            np.asarray(f).transpose(0, 2, 1, 3), ref["feat2"], atol=2e-4
+        )
+
+    @pytest.mark.parametrize("pool,src", [("maxpool1", "feat1"), ("maxpool2", "feat2")])
+    def test_pool_indices_match_or_tied(self, transfused, pool, src):
+        _, _, encv, _, _, ref = transfused
+        x = jnp.asarray(ref[src])  # (B, C, 3, N) vec layout, exact ref input
+        w = jnp.asarray(encv[0]["trunk"][pool]["dir_kernel"])
+        d = jnp.einsum("oc,bcjn->bojn", w, x)
+        dot = np.asarray(jnp.sum(x * d, axis=2), dtype=np.float64)  # (B,C,N)
+        idx_mine = dot.argmax(axis=-1)
+        # torch side on the same input
+        xt = torch.from_numpy(ref[src])
+        with torch.no_grad():
+            dt = torch.einsum("oc,bcjn->bojn", torch.from_numpy(np.asarray(w)), xt)
+            dot_t = (xt * dt).sum(2).numpy()
+        idx_ref = dot_t.argmax(axis=-1)
+        mism = idx_mine != idx_ref
+        # every mismatch must be a justified tie: relative gap < 1e-5
+        b, c = np.nonzero(mism)
+        for bi, ci in zip(b, c):
+            v1 = dot[bi, ci, idx_mine[bi, ci]]
+            v2 = dot[bi, ci, idx_ref[bi, ci]]
+            gap = abs(v1 - v2) / max(abs(v1), abs(v2), 1e-12)
+            assert gap < 1e-5, f"{pool} idx flip at gap {gap:.2e} is not a tie"
+        assert mism.mean() < 0.02, f"{pool}: {mism.sum()} flips (> 2%)"
+
+    def test_mlp_stage(self, transfused):
+        from vn_pointcloudcompletion_tpu.nn.vn import VNLinear, VNLinearAndLeakyReLU
+
+        _, _, encv, _, _, ref = transfused
+        fg = jnp.asarray(ref["fg2"])  # (B, 2048, 3, 1) vec layout
+        h = VNLinearAndLeakyReLU(2048, use_batchnorm="none").apply(
+            self._sub(encv, "mlp_0"), fg, train=False
+        )
+        h = VNLinearAndLeakyReLU(1024, use_batchnorm="none").apply(
+            self._sub(encv, "mlp_1"), h, train=False
+        )
+        coarse = VNLinear(1024).apply(self._sub(encv, "mlp_2"), h)
+        np.testing.assert_allclose(
+            np.asarray(coarse).reshape(2, 1024, 3), ref["coarse"], atol=1e-4
+        )
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_decoder_stage(self, transfused, train):
+        # argmax-free: exact end-to-end comparison, eval AND train-BN mode
+        from vn_pointcloudcompletion_tpu.models.pcn import VNFoldingNet
+
+        _, dec, _, decv, _, ref = transfused
+        dec_p, dec_s = decv
+        dec.train(mode=train)
+        with torch.no_grad():
+            fine_ref = t2n(
+                dec(torch.from_numpy(ref["coarse"]),
+                    torch.from_numpy(ref["fg2"]), None)
+            )
+        dec.eval()
+        mod = VNFoldingNet(num_coarse=1024, latent_dim=2048)
+        out = mod.apply(
+            {"params": dec_p, "batch_stats": dec_s},
+            jnp.asarray(ref["coarse"]), jnp.asarray(ref["fg2"]), None,
+            train=train, mutable=["batch_stats"] if train else False,
+        )
+        fine = out[0] if train else out
+        np.testing.assert_allclose(np.asarray(fine), fine_ref, atol=2e-4)
+
+    def test_composed_end_to_end(self, transfused):
+        # full PCNNet apply with the transfused tree: shapes + loose agreement
+        # (pool ties bound the achievable tolerance at random init)
+        from vn_pointcloudcompletion_tpu.metrics.losses import cd_loss_l1
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+        from vn_pointcloudcompletion_tpu.training.torch_interop import (
+            pcnnet_variables_from_torch,
+        )
+
+        enc, dec, _, _, xyz, ref = transfused
+        sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+        sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+        variables = pcnnet_variables_from_torch(sd, latent_dim=2048)
+        model = PCNNet(
+            enc_type="vn_pointnet", dec_type="vn_foldingnet",
+            num_coarse=1024, latent_dim=2048, only_coarse=False,
+        )
+        coarse, fine = model.apply(variables, jnp.asarray(xyz), train=False)
+        assert coarse.shape == (2, 1024, 3) and fine.shape == (2, 16384, 3)
+        # a wiring bug shifts the cloud by its own scale (~5e-2); ties only
+        # perturb at the ~1e-3 level
+        assert float(cd_loss_l1(fine, jnp.asarray(ref["fine"]))) < 5e-3
+        np.testing.assert_allclose(
+            np.median(np.abs(np.asarray(coarse) - ref["coarse"])), 0, atol=2e-3
+        )
+
+    def test_cd_loss_l1_formula(self, transfused):
+        # formula parity vs the reference's pure-torch chamfer oracle
+        # (chamfer_python.py:18-39 + metrics/loss.py:20-31) on identical input
+        from vn_pointcloudcompletion_tpu.metrics.losses import cd_loss_l1
+
+        ref_chamfer = _load_ref_module(
+            "ref_chamfer_python",
+            "extensions/ChamferDistancePytorch/chamfer_python.py",
+        )
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal((2, 512, 3)).astype(np.float32) * 0.3
+        b = rng.standard_normal((2, 1024, 3)).astype(np.float32) * 0.3
+        d1, d2, _, _ = ref_chamfer.distChamfer(
+            torch.from_numpy(a), torch.from_numpy(b)
+        )
+        want = float((torch.mean(torch.sqrt(d1)) + torch.mean(torch.sqrt(d2))) / 2.0)
+        got = float(cd_loss_l1(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestTorchCheckpointInterop:
+    """Reference ``.pth`` encoder pretrains load into the rebuild
+    (reference models/model.py:29-39; VERDICT Missing #5)."""
+
+    def test_load_pretrained_encoder_pth(self, tmp_path):
+        import importlib
+        import types
+        from types import SimpleNamespace
+
+        p2o = types.ModuleType("pointnet2_ops")
+        p2o.pointnet2_utils = SimpleNamespace()
+        sys.modules.setdefault("pointnet2_ops", p2o)
+        kc = types.ModuleType("knn_cuda")
+        kc.KNN = type("KNN", (), {"__init__": lambda s, *a, **k: None})
+        sys.modules.setdefault("knn_cuda", kc)
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        sys.path.insert(0, REF)
+        try:
+            ref_pcn = importlib.import_module("models.pcn")
+            torch.manual_seed(1)
+            enc = ref_pcn.VN_PointNet(SimpleNamespace(num_coarse=1024, latent_dim=2048))
+        finally:
+            torch.Tensor.cuda = orig_cuda
+            sys.path.remove(REF)
+        path = str(tmp_path / "enc.pth")
+        torch.save(enc.state_dict(), path)
+
+        from vn_pointcloudcompletion_tpu.models.composer import build_model
+        from vn_pointcloudcompletion_tpu.training.checkpoint import (
+            load_pretrained_encoder,
+        )
+        from vn_pointcloudcompletion_tpu.training.state import create_train_state
+        from vn_pointcloudcompletion_tpu.utils.config import Config
+
+        config = Config.from_dict(dict(
+            enc_type="vn_pointnet", dec_type="vn_foldingnet",
+            num_coarse=1024, latent_dim=2048, only_coarse=True,
+            batch_size=2, lr=1e-4,
+        ))
+        model = build_model(config)
+        state = create_train_state(
+            model, config, 10, jax.random.key(0),
+            jnp.zeros((2, 64, 3), jnp.float32),
+        )
+        state2 = load_pretrained_encoder(state, path, enc_type="vn_pointnet")
+        got = np.asarray(
+            state2.params["encoder"]["trunk"]["first_conv_0"]["kernel"]
+        )
+        want = enc.first_conv[0].map_to_feat.weight.detach().numpy()
+        np.testing.assert_allclose(got, want, atol=0)

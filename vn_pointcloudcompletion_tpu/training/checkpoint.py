@@ -80,10 +80,23 @@ def restore_checkpoint(exp_dir: str, state, name: str = "last"):
     )
 
 
-def load_pretrained_encoder(state, path: str):
-    """Non-strict encoder-subtree load (reference model.py:29-39)."""
-    with open(path, "rb") as f:
-        blob = flax.serialization.msgpack_restore(f.read())
+def load_pretrained_encoder(state, path: str, enc_type: str = "vn_pointnet"):
+    """Non-strict encoder-subtree load (reference model.py:29-39).
+
+    Accepts the rebuild's msgpack checkpoints and reference torch ``.pth``
+    state_dicts (mapped via training/torch_interop.py), so encoders
+    pretrained with the reference are drop-in reusable.
+    """
+    if path.endswith((".pth", ".pt")):
+        from vn_pointcloudcompletion_tpu.training import torch_interop
+
+        sd = torch_interop.load_torch_state_dict(path)
+        enc_p, enc_s = torch_interop.encoder_variables_from_torch(sd, enc_type)
+        blob = {"params": {"encoder": enc_p},
+                "batch_stats": {"encoder": enc_s}}
+    else:
+        with open(path, "rb") as f:
+            blob = flax.serialization.msgpack_restore(f.read())
     src = blob["params"].get("encoder", blob["params"])
     params = dict(state.params)
     params["encoder"] = flax.serialization.from_state_dict(

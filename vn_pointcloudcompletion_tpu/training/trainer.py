@@ -114,7 +114,9 @@ def train(config: Config, resume: bool = False,
     state = create_train_state(model, config, steps_per_epoch, init_rng, sample)
 
     if config.enc_pretrained != "none" and os.path.exists(config.enc_pretrained):
-        state = load_pretrained_encoder(state, config.enc_pretrained)
+        state = load_pretrained_encoder(
+            state, config.enc_pretrained, enc_type=config.enc_type
+        )
         log.info(f"Loaded pretrained encoder from {config.enc_pretrained}")
 
     start_epoch, best_cd_l1, best_epoch_l1 = 0, 1e8, -1
