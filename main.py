@@ -36,8 +36,9 @@ def main(argv=None):
                         help="resume training from the named experiment")
     parser.add_argument("--ckpt_path", type=str, default=None,
                         help="path of a pretrained model checkpoint")
-    parser.add_argument("-from", "--from_epoch", type=int, default=0,
-                        help="checkpoint epoch to branch a new run from")
+    parser.add_argument("-from", "--from_epoch", type=str, default=0,
+                        help="branch a NEW run from -n <src run>'s numbered "
+                             "checkpoint: an epoch, 'best' or 'last'")
     parser.add_argument("-epochs", "--epochs", type=int, default=None,
                         help="override max epochs")
     parser.add_argument("--save", action="store_true",
@@ -61,15 +62,25 @@ def main(argv=None):
 
     configure_logging()
 
+    branching = args.from_epoch not in (0, "0", None, "")
     if args.resume:
         if args.name is None:
             parser.error("--resume requires -n <experiment dir name>")
         config = load_config(args.name)
+    elif branching:
+        # -from: new run seeded from an existing run's numbered checkpoint
+        # (reference main.py:40-46 + utils/experiments.py:154-166)
+        if args.name is None:
+            parser.error("-from requires -n <source experiment dir name>")
+        config = load_config(args.name)  # source run snapshot (has exp_dir)
+        fe = args.from_epoch
+        config.checkpoint = int(fe) if str(fe).isdigit() else str(fe)
+        config = create_experiment(config)
     else:
         config = load_config(None)
         if args.name:
             config.name = args.name
-        config.checkpoint = args.from_epoch
+        config.checkpoint = 0
         config = create_experiment(config)
 
     if args.epochs is not None:

@@ -67,3 +67,42 @@ class TestCLI:
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])
         runs = sorted(os.listdir(synthetic_project / "experiments"))
         assert runs[0].endswith("_000") and runs[1].endswith("_001")
+
+    def test_branch_from_epoch(self, synthetic_project):
+        # enable numbered checkpoints, train epochs 0..1
+        cfg = json.load(open(synthetic_project / "config.json"))
+        cfg["checkpoint_every"] = 1
+        json.dump(cfg, open(synthetic_project / "config.json", "w"))
+        cli.main(["-n", "cli_smoke", "--mesh", "1", "-epochs", "1", "train"])
+        exp_root = synthetic_project / "experiments"
+        src_run = sorted(os.listdir(exp_root))[0]
+        assert (exp_root / src_run / "models" / "model_1.ckpt").exists()
+
+        # branch a new run from epoch 1 and train it to epoch 3
+        # (NB: `-from 0` is the off-sentinel, as in the reference main.py:51)
+        cli.main(["-n", src_run, "-from", "1", "--mesh", "1",
+                  "-epochs", "3", "train"])
+        runs = sorted(os.listdir(exp_root))
+        assert len(runs) == 2
+        new_run = runs[1]
+        # the branch checkpoint was copied into the new run dir verbatim
+        src_blob = (exp_root / src_run / "models" / "model_1.ckpt").read_bytes()
+        new_blob = (exp_root / new_run / "models" / "model_1.ckpt").read_bytes()
+        assert src_blob == new_blob
+        # training continued from epoch 2 (branch+1) through 3
+        import flax
+
+        optim = flax.serialization.msgpack_restore(
+            (exp_root / new_run / "optimizer" / "optim_last.ckpt").read_bytes()
+        )
+        assert optim["epoch"] == 3
+        log_text = (exp_root / new_run / "train.log").read_text()
+        assert "[BRANCH INFO]" in log_text
+        assert "Epoch [002/003]" in log_text
+        assert "Epoch [001/003]" not in log_text and "Epoch [000" not in log_text
+
+    def test_branch_from_missing_checkpoint_fails(self, synthetic_project):
+        cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])  # no numbered ckpts
+        src_run = sorted(os.listdir(synthetic_project / "experiments"))[0]
+        with pytest.raises(FileNotFoundError, match="checkpoint_every"):
+            cli.main(["-n", src_run, "-from", "7", "--mesh", "1", "train"])

@@ -131,6 +131,21 @@ def train(config: Config, resume: bool = False,
             )
         else:
             log.info("No checkpoint found; training from start")
+    elif config.checkpoint:
+        # branch-from-epoch: create_experiment copied model_{N}/optim_{N}
+        # into this fresh run dir (reference utils/experiments.py:154-166)
+        restored = restore_checkpoint(config.exp_dir, state, str(config.checkpoint))
+        if restored is None:
+            raise FileNotFoundError(
+                f"branch checkpoint {config.checkpoint} missing from "
+                f"{config.exp_dir}"
+            )
+        state, last_epoch, best_cd_l1, best_epoch_l1 = restored
+        start_epoch = last_epoch + 1
+        log.info(
+            f"[BRANCH INFO] new run {config.run_name} branched from epoch "
+            f"{last_epoch} checkpoint (best_metrics = {best_cd_l1 * 1e3})"
+        )
     else:
         log.info(f"Start a brand new experiment: {config.run_name}")
 
@@ -254,6 +269,10 @@ def train(config: Config, resume: bool = False,
             log.info(f"Save checkpoint at {config.exp_dir}/models/model_best.ckpt")
         save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
                         best_epoch_l1, "last")
+        if config.checkpoint_every and epoch % config.checkpoint_every == 0:
+            # numbered checkpoints are the branch points for `-from <epoch>`
+            save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
+                            best_epoch_l1, str(epoch))
         epochs_run += 1
 
     log.info(

@@ -53,7 +53,13 @@ class Config:
     name: str = "experiment"
     run_name: str = ""
     exp_dir: str = ""
-    checkpoint: int = 0
+    # branch-from-checkpoint: epoch number or "best"/"last" (reference
+    # main.py:40-46 `-from`); 0 = off
+    checkpoint: Any = 0
+    # save numbered model_{epoch}/optim_{epoch} checkpoints every N epochs
+    # (0 = only best/last, the reference's behaviour); numbered checkpoints
+    # are what `-from <epoch>` branches from
+    checkpoint_every: int = 0
     log_frequency: int = 10
     overfit: bool = False
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import logging
 import logging.config
 import os
+import shutil
 from datetime import datetime
 from typing import List, Optional
 
@@ -76,7 +77,14 @@ def get_num_params(params) -> dict:
 
 
 def create_experiment(config: Config) -> Config:
-    """Create the next ``MM-DD_<name>_NNN`` run dir (reference :103-171)."""
+    """Create the next ``MM-DD_<name>_NNN`` run dir (reference :103-171).
+
+    When ``config.checkpoint`` is set (``-from N`` / ``-from best``), the
+    numbered checkpoint pair is copied from the source run (the
+    ``config.exp_dir`` the loaded snapshot points at) into the new run dir —
+    the reference's branch-from-epoch semantics (reference :154-166; upstream
+    the copied files were never written, see trainer checkpoint_every).
+    """
     experiment_name = f"{datetime.now().strftime('%m-%d')}_{config.name}"
     out = output_dir()
     os.makedirs(out, exist_ok=True)
@@ -94,6 +102,21 @@ def create_experiment(config: Config) -> Config:
     exp_dir = os.path.join(out, run_name)
     for sub in ("", "models", "optimizer", "visualizations", "train", "val"):
         os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+
+    if getattr(config, "checkpoint", 0):
+        name = str(config.checkpoint)
+        old_dir = config.exp_dir
+        for sub, fname in (
+            ("models", f"model_{name}.ckpt"),
+            ("optimizer", f"optim_{name}.ckpt"),
+        ):
+            src = os.path.join(old_dir, sub, fname)
+            if not os.path.isfile(src):
+                raise FileNotFoundError(
+                    f"-from {name}: {src} not found — numbered checkpoints "
+                    f"are written when the source run sets checkpoint_every > 0"
+                )
+            shutil.copy(src, os.path.join(exp_dir, sub, fname))
 
     config.run_name = run_name
     config.exp_dir = exp_dir
