@@ -193,3 +193,51 @@ class TestGrids:
         lin = np.linspace(-0.05, 0.05, 4, dtype=np.float32)
         np.testing.assert_allclose(g[0], np.tile(lin, 4), atol=1e-7)
         np.testing.assert_allclose(g[1], np.repeat(lin, 4), atol=1e-7)
+
+
+class TestEMDOracle:
+    """Pin the jitted annealed matching to the NumPy transliteration of
+    emd_kernel.cu:26-243 (the repo's chamfer-oracle pattern)."""
+
+    @pytest.mark.parametrize("n,m", [(64, 64), (96, 32), (32, 96)])
+    def test_match_matches_oracle(self, rng, n, m):
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            approx_match,
+            approx_match_reference,
+        )
+
+        a = rng.standard_normal((2, n, 3)).astype(np.float32) * 0.3
+        b = rng.standard_normal((2, m, 3)).astype(np.float32) * 0.3
+        got = np.asarray(approx_match(jnp.asarray(a), jnp.asarray(b)))
+        want = approx_match_reference(a, b)
+        assert got.shape == want.shape == (2, m, n)
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_cost_matches_oracle(self, rng):
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            earth_mover_distance,
+            earth_mover_distance_reference,
+        )
+
+        a = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.3
+        b = rng.standard_normal((2, 64, 3)).astype(np.float32) * 0.3
+        got = np.asarray(earth_mover_distance(jnp.asarray(a), jnp.asarray(b)))
+        want = earth_mover_distance_reference(a, b)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("n,m,block", [(64, 64, 32), (96, 32, 32),
+                                           (100, 72, 32)])
+    def test_blocked_matches_dense(self, rng, n, m, block):
+        # padding path exercised by the non-divisible (100, 72) case
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            earth_mover_distance,
+            earth_mover_distance_blocked,
+        )
+
+        a = rng.standard_normal((3, n, 3)).astype(np.float32) * 0.3
+        b = rng.standard_normal((3, m, 3)).astype(np.float32) * 0.3
+        dense = np.asarray(earth_mover_distance(jnp.asarray(a), jnp.asarray(b)))
+        blocked = np.asarray(
+            earth_mover_distance_blocked(jnp.asarray(a), jnp.asarray(b), block)
+        )
+        np.testing.assert_allclose(blocked, dense, rtol=1e-4, atol=1e-6)

@@ -67,6 +67,146 @@ def approx_match(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> jnp.ndarray:
     return match.transpose(0, 2, 1)
 
 
+def earth_mover_distance_blocked(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, block: int = 512
+) -> jnp.ndarray:
+    """Streaming approx-EMD cost, O(N + M) memory per sample — (B,) costs.
+
+    The dense path materialises the (M, N) soft match (1 GB/sample at 16384
+    points), capping ``--emd`` eval at batch 1.  Here each annealing round
+    streams the distance matrix in ``block``-row tiles three times (row
+    ratios, column consumption, cost/row-supply update) and accumulates the
+    cost directly, so ``match`` never exists in HBM; each tile is one MXU
+    matmul (pairwise distances) + a VPU exp + a matvec.  Identical round
+    structure to ``approx_match`` / ``emd_kernel.cu:26-158``.
+
+    Eval-only: gradients follow the dense ``earth_mover_distance`` (training
+    uses it at coarse sizes); inputs are stop-gradiented here.
+    """
+    x1 = jax.lax.stop_gradient(xyz1).astype(jnp.float32)
+    x2 = jax.lax.stop_gradient(xyz2).astype(jnp.float32)
+    b, n, _ = x1.shape
+    m = x2.shape[1]
+    if n >= m:
+        multi_l, multi_r = 1.0, float(n // m)
+    else:
+        multi_l, multi_r = float(m // n), 1.0
+
+    # pad rows/columns to block multiples; padded entries carry zero
+    # supply/capacity so every ratio & cost contribution they touch is zero
+    def pad_to(x, k):
+        p = (-x.shape[1]) % k
+        return jnp.pad(x, ((0, 0), (0, p), (0, 0))), x.shape[1] + p
+
+    x1p, n_pad = pad_to(x1, block)
+    x2p, m_pad = pad_to(x2, block)
+    row_mask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    col_mask = (jnp.arange(m_pad) < m).astype(jnp.float32)
+    levels = jnp.array(
+        [-(4.0 ** j) for j in range(7, -2, -1)] + [0.0], dtype=jnp.float32
+    )
+
+    def sqd(a, c):  # (p, 3) x (q, 3) -> (p, q)
+        # HIGHEST precision is load-bearing: the TPU's default bf16 matmul
+        # makes near-zero distances negative by ~1e-2, and exp(-16384 * d)
+        # then overflows to inf (-> NaN costs); clamp kills the f32 residue
+        cross = jnp.einsum(
+            "pd,qd->pq", a, c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = jnp.sum(a * a, -1)[:, None] + jnp.sum(c * c, -1)[None, :] - 2.0 * cross
+        return jnp.maximum(d, 0.0)
+
+    def per_sample(x1s, x2s):
+        r_blocks = x1s.reshape(n_pad // block, block, 3)
+        c_blocks = x2s.reshape(m_pad // block, block, 3)
+
+        def round_body(i, carry):
+            remain_l, remain_r, cost = carry
+            level = levels[i]
+
+            suml = jax.lax.map(
+                lambda rb: jnp.exp(level * sqd(rb, x2s)) @ remain_r, r_blocks
+            ).reshape(n_pad) + 1e-9
+            ratio_l = remain_l / suml
+
+            sumr = jax.lax.map(
+                lambda cb: jnp.exp(level * sqd(cb, x1s)) @ ratio_l, c_blocks
+            ).reshape(m_pad) * remain_r
+            consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+            ratio_r = consumption * remain_r
+            remain_r = jnp.maximum(0.0, remain_r - sumr)
+
+            def fc(rb):
+                d = sqd(rb, x2s)
+                w = jnp.exp(level * d)
+                return w @ ratio_r, (w * d) @ ratio_r
+
+            s1, s2 = jax.lax.map(fc, r_blocks)
+            cost = cost + jnp.sum(ratio_l * s2.reshape(n_pad))
+            remain_l = jnp.maximum(0.0, remain_l - ratio_l * s1.reshape(n_pad))
+            return remain_l, remain_r, cost
+
+        init = (multi_l * row_mask, multi_r * col_mask, jnp.float32(0.0))
+        _, _, cost = jax.lax.fori_loop(0, levels.shape[0], round_body, init)
+        return cost
+
+    return jax.vmap(per_sample)(x1p, x2p)
+
+
+def approx_match_reference(xyz1, xyz2):
+    """Slow, obviously-correct NumPy oracle for the annealed matching.
+
+    Per-batch transliteration of ``emd_kernel.cu:26-158`` (the three phases
+    of each annealing round j = 7..-2: row ratios from remaining column
+    capacity, column consumption, match accumulation) — kept next to the
+    fast path so an exactness test can pin the two together, the repo's
+    chamfer-oracle pattern.  Returns ``match`` (B, M, N) in float64.
+    """
+    import numpy as np
+
+    xyz1 = np.asarray(xyz1, np.float64)
+    xyz2 = np.asarray(xyz2, np.float64)
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if n >= m:
+        multi_l, multi_r = 1.0, float(n // m)
+    else:
+        multi_l, multi_r = float(m // n), 1.0
+    match = np.zeros((b, m, n), np.float64)
+    for i in range(b):
+        diff = xyz1[i][:, None, :] - xyz2[i][None, :, :]
+        d = np.sum(diff * diff, axis=-1)  # (n, m)
+        remain_l = np.full(n, multi_l)
+        remain_r = np.full(m, multi_r)
+        for j in range(7, -3, -1):
+            level = 0.0 if j == -2 else -(4.0 ** j)
+            w = np.exp(level * d)  # (n, m)
+            suml = 1e-9 + w @ remain_r  # (n,)  [kernel :56-85]
+            ratio_l = remain_l / suml
+            sumr = (w.T @ ratio_l) * remain_r  # (m,)  [kernel :88-122]
+            consumption = np.minimum(remain_r / (sumr + 1e-9), 1.0)
+            ratio_r = consumption * remain_r
+            remain_r = np.maximum(0.0, remain_r - sumr)
+            delta = w * ratio_l[:, None] * ratio_r[None, :]  # [kernel :124-155]
+            match[i] += delta.T
+            remain_l = np.maximum(0.0, remain_l - delta.sum(axis=1))
+    return match
+
+
+def earth_mover_distance_reference(xyz1, xyz2):
+    """NumPy oracle for the full cost (``matchcost``, emd_kernel.cu:201-243)."""
+    import numpy as np
+
+    match = approx_match_reference(xyz1, xyz2)  # (B, M, N)
+    xyz1 = np.asarray(xyz1, np.float64)
+    xyz2 = np.asarray(xyz2, np.float64)
+    diff = xyz1[:, :, None, :] - xyz2[:, None, :, :]
+    d = np.sum(diff * diff, axis=-1)  # (B, N, M)
+    return np.einsum("bmn,bnm->b", match, d)
+
+
 def earth_mover_distance(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> jnp.ndarray:
     """Approximate EMD cost per batch element, shape (B,).
 

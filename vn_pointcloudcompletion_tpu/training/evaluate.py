@@ -30,7 +30,7 @@ from vn_pointcloudcompletion_tpu.metrics.metrics import (
 )
 from vn_pointcloudcompletion_tpu.models.composer import build_model
 from vn_pointcloudcompletion_tpu.ops.chamfer import chamfer_distance
-from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance
+from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance_blocked
 from vn_pointcloudcompletion_tpu.ops.rotations import rotate_points, sample_rotation
 from vn_pointcloudcompletion_tpu.training.checkpoint import restore_checkpoint
 from vn_pointcloudcompletion_tpu.training.state import create_train_state
@@ -56,13 +56,12 @@ def _make_metric_step(config: Config, with_emd: bool = False):
         out = {"l1": l1, "l2": l2, "f": fs, "iou": iou}
         if with_emd:
             # per-point EMD against an equal-size slice (test.py:139-182).
-            # lax.map processes one sample at a time: the (M, N) soft-match
-            # matrix at 16384 points is ~1 GB — a full batch would not fit.
+            # The blocked kernel streams the (M, N) match (1 GB/sample dense
+            # at 16384 points) so the whole batch runs at once.
             gt_slice = complete[:, : pred.shape[1]]
-            out["emd"] = jax.lax.map(
-                lambda pc: earth_mover_distance(pc[0][None], pc[1][None])[0],
-                (pred, gt_slice),
-            ) / pred.shape[1]
+            out["emd"] = (
+                earth_mover_distance_blocked(pred, gt_slice) / pred.shape[1]
+            )
         return out, pred
 
     return jax.jit(metric_step)
