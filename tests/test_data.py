@@ -144,3 +144,46 @@ class TestLoader:
             assert p.shape == (4, 16, 3)
             n += 1
         assert n == 2
+
+
+class TestMultiHostStaging:
+    """stage_batch forms global arrays; processes=1 behaviour unchanged."""
+
+    def test_stage_batch_matches_device_put_single_process(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vn_pointcloudcompletion_tpu.data.pipeline import stage_batch
+        from vn_pointcloudcompletion_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8])
+        sh = NamedSharding(mesh, P("data"))
+        batch = (np.arange(8 * 4 * 3, dtype=np.float32).reshape(8, 4, 3),
+                 np.ones((8, 2, 3), np.float32))
+        a = stage_batch(batch, sh)
+        b = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        for x, y in zip(a, b):
+            assert x.sharding == y.sharding
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_make_array_path_produces_same_global(self):
+        # drive the multi-process branch's API directly (process_count==1 is
+        # a valid degenerate case for make_array_from_process_local_data)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vn_pointcloudcompletion_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8])
+        sh = NamedSharding(mesh, P("data"))
+        x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        g = jax.make_array_from_process_local_data(sh, x, (16, 3))
+        assert g.shape == (16, 3)
+        np.testing.assert_array_equal(np.asarray(g), x)
+
+    def test_stage_batch_no_sharding(self):
+        from vn_pointcloudcompletion_tpu.data.pipeline import stage_batch
+
+        batch = (np.ones((4, 2, 3), np.float32),)
+        out = stage_batch(batch)
+        np.testing.assert_array_equal(np.asarray(out[0]), batch[0])

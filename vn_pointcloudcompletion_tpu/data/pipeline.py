@@ -78,19 +78,42 @@ class BatchLoader:
                 yield partial, complete
 
 
+def stage_batch(batch, sharding=None):
+    """Stage one host batch onto device(s) under ``sharding``.
+
+    Single-process: a plain (async) ``device_put`` laid out across the mesh.
+    Multi-process (``jax.process_count() > 1``): each process holds only its
+    local rows of the global batch (the dataset shards by ``process_index``,
+    data/shapenet.py), so the global array is assembled with
+    ``make_array_from_process_local_data`` — local shards stay put, XLA sees
+    one global (global_batch, ...) array sharded over the full mesh.  DCN
+    never moves input rows; only gradient all-reduce crosses hosts.
+    """
+    if sharding is None:
+        return jax.tree.map(jax.device_put, batch)
+    if jax.process_count() > 1:
+        def put_global(x):
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape
+            )
+
+        return jax.tree.map(put_global, batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Asynchronously stage host batches onto device(s), ``size`` ahead.
 
     ``jax.device_put`` is async; keeping a small deque of in-flight transfers
     overlaps H2D DMA with the previous step's compute.  With a ``sharding``
-    the batch is laid out across the mesh's data axis directly from host.
+    the batch is laid out across the mesh's data axis directly from host
+    (globally across processes when under multi-host JAX — see stage_batch).
     """
     q: collections.deque = collections.deque()
 
     def put(batch):
-        if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
+        return stage_batch(batch, sharding)
 
     it = iter(iterator)
     try:

@@ -84,6 +84,15 @@ def train(config: Config, resume: bool = False,
                 f"batch_size={config.batch_size} must be divisible by the "
                 f"mesh's 'data' axis size {n_data}"
             )
+    # batch_size is the GLOBAL batch; each process loads its local rows
+    # (dataset shards by process_index, staged via stage_batch)
+    n_proc = jax.process_count()
+    if config.batch_size % max(n_proc, 1) != 0:
+        raise ValueError(
+            f"batch_size={config.batch_size} must be divisible by the "
+            f"process count {n_proc}"
+        )
+    local_batch_size = config.batch_size // max(n_proc, 1)
 
     visual_dir = os.path.join(config.exp_dir, "visualizations")
     train_writer = SummaryWriter(os.path.join(config.exp_dir, "train"))
@@ -92,14 +101,14 @@ def train(config: Config, resume: bool = False,
     log_dataset.info("Loading Data...")
     train_dataset, val_dataset = build_datasets(config)
     train_loader = BatchLoader(
-        train_dataset, config.batch_size, shuffle=True, seed=config.seed,
+        train_dataset, local_batch_size, shuffle=True, seed=config.seed,
         num_workers=config.num_workers,
     )
     # a sharded mesh step needs every batch divisible by the mesh; val means
     # divide by the number of samples actually evaluated (== len(dataset)
     # whenever drop_last is off)
     val_loader = BatchLoader(
-        val_dataset, config.batch_size, shuffle=False,
+        val_dataset, local_batch_size, shuffle=False,
         num_workers=config.num_workers, drop_last=mesh is not None,
     )
     log_dataset.info("Dataset loaded!")
@@ -230,7 +239,8 @@ def train(config: Config, resume: bool = False,
             val["coarse"] += float(out["coarse_sum"])
             val["dense"] += float(out["dense_sum"])
             n_evaluated += p.shape[0]
-            if i == rand_iter:
+            if i == rand_iter and jax.process_count() == 1:
+                # global arrays are not fully host-addressable multi-process
                 viz = jax.tree.map(
                     lambda x: None if x is None else np.asarray(x), clouds
                 )
