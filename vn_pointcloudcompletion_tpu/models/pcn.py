@@ -235,6 +235,45 @@ class PCN(nn.Module):
         return coarse, fine.transpose(0, 2, 1)
 
 
+class _ParamHolder(nn.Module):
+    """Declares one named parameter under its own scope — lets a parent fuse
+    computations across module boundaries while keeping the parameter tree
+    (and torch-interop/checkpoint key paths) identical to the unfused stack."""
+
+    shape: tuple
+    param_name: str = "kernel"
+
+    @nn.compact
+    def __call__(self):
+        from vn_pointcloudcompletion_tpu.nn.vn import torch_linear_init
+
+        return self.param(self.param_name, torch_linear_init, self.shape)
+
+
+def _linear_maxpool_planes(w, wd, x):
+    """Fused VNLinear + VNMaxPool on plane layout (B, 3, Cin, N).
+
+    The pool's learned direction reads the linear's output: d = Wd (W x) =
+    (Wd W) x, so the direction map is precomposed — fan-in Cin instead of
+    Cout halves its FLOPs (maxpool2: 825 -> 412 GFLOP/step at batch 16).
+    Kept as SEPARATE matmuls: a stacked [W; WdW] matmul measures ~6 ms
+    slower on v5e (slicing the output breaks epilogue fusion).  Exactly the
+    reference semantics (vn_layers.py:153-167 after :12-22); Wd gets no
+    gradient either way (argmax selection is non-differentiable, as in the
+    reference).
+    """
+    from vn_pointcloudcompletion_tpu.nn.vn import _channel_linear_plane
+
+    wdc = jax.lax.stop_gradient(wd @ w)  # (Cout, Cin), f32 composition
+    f = _channel_linear_plane(w, x)  # (B, 3, Cout, N)
+    d = _channel_linear_plane(wdc, x)
+    dot = jnp.sum(f * d, axis=1, keepdims=True)  # (B, 1, Cout, N)
+    idx = jnp.argmax(dot, axis=-1, keepdims=True)
+    idx = jnp.broadcast_to(idx, f.shape[:-1] + (1,))
+    pooled = jnp.take_along_axis(f, idx, axis=-1)[..., 0]  # (B, 3, Cout)
+    return f, pooled
+
+
 class _VNPointNetTrunk(nn.Module):
     """Shared VN-PCN encoder trunk (reference ``models/pcn.py:35-65,132-162``)."""
 
@@ -251,16 +290,25 @@ class _VNPointNetTrunk(nn.Module):
         f = VNLinearLeakyReLU(128, layout="plane", name="first_conv_0")(
             x, train=train
         )
-        f = VNLinear(512, layout="plane", name="first_conv_1")(f)  # (B, 3, 512, N)
-        g = VNMaxPool(layout="plane", name="maxpool1")(f)[..., None]  # (B, 3, 512, 1)
+        # linear + maxpool pairs run as one fused stacked matmul each; the
+        # _ParamHolder scoping keeps the VNLinear/VNMaxPool tree unchanged
+        w1 = _ParamHolder((512, 128), name="first_conv_1")()
+        wd1 = _ParamHolder((512, 512), "dir_kernel", name="maxpool1")()
+        f, g = _linear_maxpool_planes(w1, wd1, f)  # (B,3,512,N), (B,3,512)
+        g = g[..., None]
         f = jnp.concatenate(
             [jnp.broadcast_to(g, (b, 3, 512, n)), f], axis=2
         )  # (B, 3, 1024, N)
         f = VNLinearLeakyReLU(1024, layout="plane", name="second_conv_0")(
             f, train=train
         )
-        f = VNLinear(self.latent_dim * 2, layout="plane", name="second_conv_1")(f)
-        fg_planes = VNMaxPool(layout="plane", name="maxpool2")(f)[..., None]
+        w2 = _ParamHolder((self.latent_dim * 2, 1024), name="second_conv_1")()
+        wd2 = _ParamHolder(
+            (self.latent_dim * 2, self.latent_dim * 2), "dir_kernel",
+            name="maxpool2",
+        )()
+        _, fg_planes = _linear_maxpool_planes(w2, wd2, f)
+        fg_planes = fg_planes[..., None]  # (B, 3, 2L, 1)
         feature_global = jnp.swapaxes(fg_planes, 1, 2)  # (B, 2L, 3, 1)
 
         h = VNLinearAndLeakyReLU(2048, use_batchnorm="none", name="mlp_0")(

@@ -258,6 +258,9 @@ class VNLinearLeakyReLU(nn.Module):
             w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
             d_out = 1 if self.share_nonlinearity else self.out_channels
             wd = self.param("dir_kernel", torch_linear_init, (d_out, c_in))
+            # separate matmuls measure FASTER than one stacked (2C, Cin)
+            # matmul here: slicing the stacked output breaks XLA's epilogue
+            # fusion into the BN/leaky chain (v5e: +2ms on the trunk)
             p = _channel_linear_plane(w, x)
             d = _channel_linear_plane(wd, x)
             if self.share_nonlinearity:

@@ -21,19 +21,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tile sweep on v5e (16 x 16384 x 16384, f32): (512,1024) 27.4 ms,
+# (512,2048) 21.5, (256,4096) 20.4, (512,4096) ~20, (512,8192)/(1024,4096)
+# exceed VMEM.  Wide lane tiles amortise the per-tile reduction setup — but
+# the masked (non-tile-multiple) variant carries an extra iota+where buffer
+# per tile and blows the 16M scoped-VMEM limit at TM=4096, so the column
+# tile adapts to the cloud size (hot shapes 16384/2048/1024 all divide 1024).
 TN = 512
-TM = 1024
+_TM_CHOICES = (4096, 2048, 1024)
+
+
+def _tm_for(m: int) -> int:
+    for tm in _TM_CHOICES:
+        if m % tm == 0:
+            return tm
+    return _TM_CHOICES[-1]  # small/ragged clouds: pad + mask at 1024
 _BIG = 3.0e38  # plain python scalars: jnp constants would be captured tracers
 _IMAX = 0x7FFFFFFF
 
 
 def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
-                  *, mask_rows: bool, mask_cols: bool):
+                  *, mask_rows: bool, mask_cols: bool, tm: int):
     # x_ref: (1, 3, TN); y_ref: (1, 3, M_pad)
     # mask_rows/mask_cols are compile-time: tile-multiple clouds (the common
     # 2048/16384 sizes) skip the padding masks entirely (~30% fewer VPU ops).
     m_pad = y_ref.shape[2]
-    num_tiles = m_pad // TM
+    num_tiles = m_pad // tm
     n_valid = nm_ref[0]
     m_valid = nm_ref[1]
     j = pl.program_id(1)
@@ -47,14 +60,14 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
 
     def body(t, carry):
         best_d, best_i = carry
-        y_t0 = y_ref[0, 0, pl.ds(t * TM, TM)].reshape(1, TM)
-        y_t1 = y_ref[0, 1, pl.ds(t * TM, TM)].reshape(1, TM)
-        y_t2 = y_ref[0, 2, pl.ds(t * TM, TM)].reshape(1, TM)
+        y_t0 = y_ref[0, 0, pl.ds(t * tm, tm)].reshape(1, tm)
+        y_t1 = y_ref[0, 1, pl.ds(t * tm, tm)].reshape(1, tm)
+        y_t2 = y_ref[0, 2, pl.ds(t * tm, tm)].reshape(1, tm)
         d0 = x0 - y_t0
         d1 = x1 - y_t1
         d2 = x2 - y_t2
         dist = d0 * d0 + d1 * d1 + d2 * d2  # (TN, TM)
-        col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + t * TM
+        col = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 1) + t * tm
 
         # x -> y direction
         dist_r = jnp.where(col < m_valid, dist, _BIG) if mask_cols else dist
@@ -67,10 +80,10 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
         # y -> x direction: partial min over this x-tile
         dist_c = jnp.where(row_ok, dist, _BIG) if mask_rows else dist
         cmin = jnp.min(dist_c, axis=0)  # (TM,)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 0) + j * TN
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 0) + j * TN
         carg = jnp.min(jnp.where(dist_c <= cmin[None, :], rows, _IMAX), axis=0)
-        cold_ref[0, 0, 0, pl.ds(t * TM, TM)] = cmin
-        coli_ref[0, 0, 0, pl.ds(t * TM, TM)] = carg
+        cold_ref[0, 0, 0, pl.ds(t * tm, tm)] = cmin
+        coli_ref[0, 0, 0, pl.ds(t * tm, tm)] = carg
         return best_d, best_i
 
     init = (jnp.full((TN,), _BIG, dtype=jnp.float32),
@@ -94,8 +107,9 @@ def nn_bidirectional_pallas(x: jnp.ndarray, y: jnp.ndarray,
     """
     b, n, _ = x.shape
     m = y.shape[1]
+    tm = _tm_for(m)
     n_pad = _pad_to(n, TN)
-    m_pad = _pad_to(m, TM)
+    m_pad = _pad_to(m, tm)
 
     xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
     yt = jnp.swapaxes(y.astype(jnp.float32), 1, 2)
@@ -108,7 +122,7 @@ def nn_bidirectional_pallas(x: jnp.ndarray, y: jnp.ndarray,
     nb = n_pad // TN
     grid = (b, nb)
     kernel = functools.partial(
-        _bidir_kernel, mask_rows=(n_pad != n), mask_cols=(m_pad != m)
+        _bidir_kernel, mask_rows=(n_pad != n), mask_cols=(m_pad != m), tm=tm
     )
     rowd, rowi, cold, coli = pl.pallas_call(
         kernel,
