@@ -68,8 +68,113 @@ def bench_train_step(batch_size: int = 16, iters: int = 20, warmup: int = 3,
     return completions_per_sec, steps_per_sec
 
 
+def bench_pipeline(enc_type, dec_type, num_coarse, n_complete,
+                   batch_size: int = 8, iters: int = 10, warmup: int = 2,
+                   dtype: str = "bfloat16"):
+    """Generic train-step throughput for any encoder/decoder pair."""
+    from vn_pointcloudcompletion_tpu.models.composer import build_model
+    from vn_pointcloudcompletion_tpu.nn.precision import (
+        from_config_dtype,
+        set_compute_dtype,
+    )
+    from vn_pointcloudcompletion_tpu.training.state import create_train_state
+    from vn_pointcloudcompletion_tpu.training.steps import make_train_step
+    from vn_pointcloudcompletion_tpu.utils.config import Config
+
+    set_compute_dtype(from_config_dtype(dtype))
+    config = Config.from_dict(
+        dict(
+            enc_type=enc_type, dec_type=dec_type,
+            num_coarse=num_coarse, latent_dim=2048,
+            only_coarse=dec_type is None,
+            batch_size=batch_size, lr=1e-4, rotation="so3", dtype=dtype,
+        )
+    )
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    partial = jnp.asarray(
+        rng.standard_normal((batch_size, 2048, 3)), jnp.float32) * 0.2
+    complete = jnp.asarray(
+        rng.standard_normal((batch_size, n_complete, 3)), jnp.float32) * 0.2
+    state = create_train_state(model, config, 100, jax.random.key(0), partial)
+    step = jax.jit(make_train_step(config, jit=False))
+    key = jax.random.key(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, partial, complete, k)
+    float(metrics["total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, partial, complete, k)
+    float(metrics["total"])
+    dt = time.perf_counter() - t0
+    return iters / dt * batch_size, iters / dt
+
+
+def bench_eval_step(batch_size: int = 16, iters: int = 10, warmup: int = 2):
+    """Test-harness (metric-step) throughput on the flagship: fwd + CD-L1/L2
+    + F-score + voxel IoU, jitted — the reference eval bottleneck."""
+    from vn_pointcloudcompletion_tpu.models.composer import build_model
+    from vn_pointcloudcompletion_tpu.nn.precision import (
+        from_config_dtype,
+        set_compute_dtype,
+    )
+    from vn_pointcloudcompletion_tpu.training.evaluate import _make_metric_step
+    from vn_pointcloudcompletion_tpu.training.state import create_train_state
+    from vn_pointcloudcompletion_tpu.utils.config import Config
+
+    set_compute_dtype(from_config_dtype("bfloat16"))
+    config = Config.from_dict(
+        dict(
+            enc_type="vn_pointnet", dec_type="vn_foldingnet",
+            num_coarse=1024, latent_dim=2048, only_coarse=False,
+            batch_size=batch_size, lr=1e-4, test_rotation="so3",
+            dtype="bfloat16",
+        )
+    )
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    partial = jnp.asarray(
+        rng.standard_normal((batch_size, 2048, 3)), jnp.float32) * 0.2
+    complete = jnp.asarray(
+        rng.standard_normal((batch_size, 16384, 3)), jnp.float32) * 0.2
+    state = create_train_state(model, config, 1, jax.random.key(0), partial)
+    metric_step = _make_metric_step(config)
+    key = jax.random.key(1)
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        out, _ = metric_step(state, partial, complete, k)
+    float(out["l1"][0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        out, _ = metric_step(state, partial, complete, k)
+    float(out["l1"][0])
+    dt = time.perf_counter() - t0
+    return iters / dt * batch_size, iters / dt
+
+
 def main():
     completions_per_sec, steps_per_sec = bench_train_step()
+    extras = {}
+    for name, args in (
+        ("vn_pointr_train", ("vn_pointr", "attention_vn_foldingnet", 448, 14336)),
+        ("dgcnn_fps_train", ("dgcnn_fps", "foldingnet", 1024, 16384)),
+    ):
+        try:
+            cps, sps = bench_pipeline(*args)
+            extras[name] = {"completions_per_sec": round(cps, 2),
+                            "steps_per_sec": round(sps, 3), "batch_size": 8}
+        except Exception as e:  # never let a side entry kill the headline
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    try:
+        cps, sps = bench_eval_step()
+        extras["flagship_eval"] = {"completions_per_sec": round(cps, 2),
+                                   "steps_per_sec": round(sps, 3),
+                                   "batch_size": 16}
+    except Exception as e:
+        extras["flagship_eval"] = {"error": f"{type(e).__name__}: {e}"[:160]}
     print(
         json.dumps(
             {
@@ -82,6 +187,7 @@ def main():
                     "pipeline": "vn_pointnet+vn_foldingnet train step (fwd+cd losses+bwd+adam, so3 aug)",
                     "batch_size": 16,
                     "device": str(jax.devices()[0]),
+                    "extra_pipelines": extras,
                 },
             }
         )

@@ -135,7 +135,9 @@ def reinit_pointr_params(params, key):
             new_leaves.append(jnp.zeros_like(leaf))
         elif leaf_name == "scale":
             new_leaves.append(jnp.ones_like(leaf))
-        elif leaf_name in ("kernel", "dir_kernel") and leaf.ndim == 2:
+        elif leaf_name in ("kernel", "dir_kernel") and leaf.ndim in (2, 3):
+            # ndim 3 = nn.scan-stacked (L, out, in) kernels; fans from the
+            # trailing dims, one independent draw per layer via the leaf key
             if any(n in _CONV_NAMES for n in names):
                 # Conv1d -> xavier_normal (fan avg)
                 fan_in, fan_out = leaf.shape[-1], leaf.shape[-2]
@@ -169,6 +171,73 @@ def pos_encoding_sin_wave(coor: jnp.ndarray, num_freqs: int = 64) -> jnp.ndarray
     k = normal[..., None] * freqs  # (B, 3, N, D)
     x = jnp.concatenate([jnp.sin(k), jnp.cos(k)], axis=-1)  # (B, 3, N, 2D)
     return jnp.swapaxes(x, -1, -2).reshape(coor.shape[0], -1, coor.shape[-1])
+
+
+class _VNEncBlockScan(nn.Module):
+    """scan body: one VNBlock with the positional embed re-added (the
+    reference re-adds ``pos`` every layer, vn_pointr.py:639-643)."""
+
+    channels: int
+    attn_channels: int
+    num_heads: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, pos):
+        out = VNBlock(self.channels, self.attn_channels, self.num_heads,
+                      name="block")(to_vn(x + pos), train=self.train)
+        return to_scalar(out), None
+
+
+class _EncBlockScan(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, pos):
+        return Block(self.dim, self.num_heads, self.mlp_ratio,
+                     name="block")(x + pos), None
+
+
+class _VNDecBlockScan(nn.Module):
+    channels: int
+    attn_channels: int
+    num_heads: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, q, v):
+        return VNDecoderBlock(
+            channels=self.channels, attn_channels=self.attn_channels,
+            num_heads=self.num_heads, name="block",
+        )(q, v, train=self.train), None
+
+
+class _DecBlockScan(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    train: bool
+
+    @nn.compact
+    def __call__(self, q, v):
+        return DecoderBlock(self.dim, self.num_heads, self.mlp_ratio,
+                            name="block")(q, v), None
+
+
+def _scan_stack(body_cls, length: int):
+    """Identical-structure transformer tails run under nn.scan: ONE traced
+    layer instead of ``length`` unrolled copies (the flagship vn_pointr
+    compile was 3-6 min unrolled), stacked params on a leading axis."""
+    return nn.scan(
+        body_cls,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        in_axes=nn.broadcast,
+        length=length,
+    )
 
 
 class VNPCTransformer(nn.Module):
@@ -226,23 +295,35 @@ class VNPCTransformer(nn.Module):
             h = ConvCh(self.embed_dim, name="pos_embed_1")(h)
             pos = h.transpose(0, 2, 1)
 
-        # encoder
+        # encoder: the first knn_layer blocks carry the kNN fusion branch
+        # (distinct structure, unrolled); the identical tail runs under scan
+        tail = self.enc_depth - self.knn_layer
         if self.trans == "vn_trans":
-            for i in range(self.enc_depth):
+            for i in range(self.knn_layer):
                 vn_in = to_vn(x + pos)
                 vn_out = VNBlock(
                     channels=self.embed_dim // 3,
                     attn_channels=self.embed_dim,
                     num_heads=self.num_heads,
                     name=f"encoder_{i}",
-                )(vn_in, knn_idx=knn_idx if i < self.knn_layer else None, train=train)
+                )(vn_in, knn_idx=knn_idx, train=train)
                 x = to_scalar(vn_out)
+            if tail > 0:
+                x, _ = _scan_stack(_VNEncBlockScan, tail)(
+                    self.embed_dim // 3, self.embed_dim, self.num_heads,
+                    train, name="encoder_scan",
+                )(x, pos)
         else:
-            for i in range(self.enc_depth):
+            for i in range(self.knn_layer):
                 x = Block(
                     self.embed_dim, self.num_heads, self.mlp_ratio,
                     name=f"encoder_{i}",
-                )(x + pos, knn_idx=knn_idx if i < self.knn_layer else None)
+                )(x + pos, knn_idx=knn_idx)
+            if tail > 0:
+                x, _ = _scan_stack(_EncBlockScan, tail)(
+                    self.embed_dim, self.num_heads, self.mlp_ratio, train,
+                    name="encoder_scan",
+                )(x, pos)
 
         # coarse prediction
         if self.trans == "vn_trans":
@@ -277,18 +358,20 @@ class VNPCTransformer(nn.Module):
                 q = VNLinearLeakyReLU(1024, name="vn_mlp_query_1")(q, train=train)
                 q = VNLinear(self.embed_dim // 3, name="vn_mlp_query_2")(q)
                 q = to_scalar(q)  # (B, M, E)
-                for i in range(self.dec_depth):
+                dec_tail = self.dec_depth - self.knn_layer
+                for i in range(self.knn_layer):
                     q = VNDecoderBlock(
                         channels=self.embed_dim // 3,
                         attn_channels=self.embed_dim,
                         num_heads=self.num_heads,
                         name=f"decoder_{i}",
-                    )(
-                        q, x,
-                        self_knn_idx=self_knn if i < self.knn_layer else None,
-                        cross_knn_idx=cross_knn if i < self.knn_layer else None,
-                        train=train,
-                    )
+                    )(q, x, self_knn_idx=self_knn, cross_knn_idx=cross_knn,
+                      train=train)
+                if dec_tail > 0:
+                    q, _ = _scan_stack(_VNDecBlockScan, dec_tail)(
+                        self.embed_dim // 3, self.embed_dim, self.num_heads,
+                        train, name="decoder_scan",
+                    )(q, x)
             else:
                 gf = jnp.broadcast_to(
                     global_feature[:, None, :], (b, self.num_query, 1024)
@@ -297,15 +380,17 @@ class VNPCTransformer(nn.Module):
                 h = nn.leaky_relu(ConvCh(1024, name="mlp_query_0")(qf), 0.2)
                 h = nn.leaky_relu(ConvCh(1024, name="mlp_query_1")(h), 0.2)
                 q = ConvCh(self.embed_dim, name="mlp_query_2")(h).transpose(0, 2, 1)
-                for i in range(self.dec_depth):
+                dec_tail = self.dec_depth - self.knn_layer
+                for i in range(self.knn_layer):
                     q = DecoderBlock(
                         self.embed_dim, self.num_heads, self.mlp_ratio,
                         name=f"decoder_{i}",
-                    )(
-                        q, x,
-                        self_knn_idx=self_knn if i < self.knn_layer else None,
-                        cross_knn_idx=cross_knn if i < self.knn_layer else None,
-                    )
+                    )(q, x, self_knn_idx=self_knn, cross_knn_idx=cross_knn)
+                if dec_tail > 0:
+                    q, _ = _scan_stack(_DecBlockScan, dec_tail)(
+                        self.embed_dim, self.num_heads, self.mlp_ratio, train,
+                        name="decoder_scan",
+                    )(q, x)
             inp_sparse = fps(xyz, self.num_query)
             coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
             # expose the refined per-query features for downstream rebuild

@@ -71,7 +71,11 @@ def create_train_state(
     rng: jax.Array,
     sample_input: jnp.ndarray,
 ) -> TrainState:
-    variables = model.init(rng, sample_input, train=False)
+    # jitted init: one compiled program instead of thousands of op-by-op
+    # dispatches (6 minutes -> seconds for vn_pointr through a remote device)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        rng, sample_input
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if config.enc_type == "vn_pointr" and "encoder" in params:
