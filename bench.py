@@ -12,6 +12,7 @@ The reference publishes no numbers (BASELINE.json "published": {}), so
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -156,12 +157,19 @@ def bench_eval_step(batch_size: int = 16, iters: int = 10, warmup: int = 2):
 
 
 def main():
+    t_start = time.perf_counter()
     completions_per_sec, steps_per_sec = bench_train_step()
     extras = {}
+    # extra pipelines are best-effort: stop adding them when the total run
+    # approaches the driver's patience (compiles dominate, ~1-2 min each)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     for name, args in (
         ("vn_pointr_train", ("vn_pointr", "attention_vn_foldingnet", 448, 14336)),
         ("dgcnn_fps_train", ("dgcnn_fps", "foldingnet", 1024, 16384)),
     ):
+        if time.perf_counter() - t_start > budget_s:
+            extras[name] = {"skipped": "time budget"}
+            continue
         try:
             cps, sps = bench_pipeline(*args)
             extras[name] = {"completions_per_sec": round(cps, 2),
@@ -169,6 +177,8 @@ def main():
         except Exception as e:  # never let a side entry kill the headline
             extras[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
     try:
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError("time budget")
         cps, sps = bench_eval_step()
         extras["flagship_eval"] = {"completions_per_sec": round(cps, 2),
                                    "steps_per_sec": round(sps, 3),
