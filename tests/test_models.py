@@ -231,3 +231,39 @@ class TestPointrInit:
         model = PCNNet(enc_type="vn_pointr", num_coarse=1024, only_coarse=True)
         with _pytest.raises(ValueError, match="num_coarse=448"):
             model.init(jax.random.key(0), jnp.zeros((1, 600, 3)), train=False)
+
+
+class TestScanStack:
+    """nn.scan transformer tails must equal the unrolled loop they replaced."""
+
+    def test_vn_encoder_scan_equals_unrolled(self, rng):
+        from vn_pointcloudcompletion_tpu.models.pointr import (
+            _scan_stack,
+            _VNEncBlockScan,
+        )
+        from vn_pointcloudcompletion_tpu.nn.attention import (
+            VNBlock,
+            to_scalar,
+            to_vn,
+        )
+
+        L, B, N, C3 = 3, 2, 16, 384
+        x = jnp.asarray(rng.standard_normal((B, N, C3)).astype(np.float32) * 0.1)
+        pos = jnp.asarray(rng.standard_normal((B, N, C3)).astype(np.float32) * 0.1)
+        scan_mod = _scan_stack(_VNEncBlockScan, L)(128, 384, 4, False)
+        vs = scan_mod.init(jax.random.key(0), x, pos)
+        out, _ = scan_mod.apply(vs, x, pos)
+
+        blk = VNBlock(channels=128, attn_channels=384, num_heads=4)
+        cur = x
+        for i in range(L):
+            sub = {
+                "params": jax.tree.map(lambda p: p[i], vs["params"])["block"],
+            }
+            if "batch_stats" in vs:
+                sub["batch_stats"] = jax.tree.map(
+                    lambda s: s[i], vs["batch_stats"]
+                )["block"]
+            cur = to_scalar(blk.apply(sub, to_vn(cur + pos), train=False))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(cur),
+                                   atol=1e-5)
