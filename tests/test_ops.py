@@ -73,6 +73,29 @@ class TestChamfer:
         np.testing.assert_allclose(gx_f, gx_d, atol=1e-5)
         np.testing.assert_allclose(gy_f, gy_d, atol=1e-5)
 
+    def test_gradients_large_table_scatter_path(self, rng):
+        # n > _ONEHOT_ROWS forces the XLA scatter-add branch of the backward
+        # cross term (the one-hot matmul branch covers small targets above).
+        import vn_pointcloudcompletion_tpu.ops.chamfer as ch
+
+        n = ch._ONEHOT_ROWS + 64
+        x = rng.standard_normal((1, n, 3)).astype(np.float32)
+        y = rng.standard_normal((1, 48, 3)).astype(np.float32)
+
+        def loss_fast(x, y):
+            d1, d2, _, _ = chamfer_distance(x, y)
+            return jnp.mean(d1) + jnp.mean(d2)
+
+        def loss_dense(x, y):
+            diff = x[:, :, None, :] - y[:, None, :, :]
+            dist = jnp.sum(diff * diff, axis=-1)
+            return jnp.mean(dist.min(axis=2)) + jnp.mean(dist.min(axis=1))
+
+        gx_f, gy_f = jax.grad(loss_fast, argnums=(0, 1))(x, y)
+        gx_d, gy_d = jax.grad(loss_dense, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(gx_f, gx_d, atol=1e-5)
+        np.testing.assert_allclose(gy_f, gy_d, atol=1e-5)
+
 
 class TestEMD:
     def test_match_is_doubly_stochastic_scaled(self, rng):
