@@ -1,0 +1,124 @@
+"""Fully-fused VN layer op vs the reference composition (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vn_pointcloudcompletion_tpu.ops.vn_fused import reference_bn_leaky_planes
+from vn_pointcloudcompletion_tpu.ops.vn_layer_fused import (
+    EPS,
+    layer_eligible,
+    vn_layer_fused,
+    vn_layer_stats,
+)
+
+INTERP = jax.default_backend() != "tpu"
+B, CIN, COUT, N = 2, 16, 32, 1100  # non-multiple of TN exercises padding
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, 3, CIN, N)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((COUT, CIN)) * 0.2, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((COUT, CIN)) * 0.2, jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((B, 3, COUT, 1)) * 0.3, jnp.float32)
+    db = jnp.asarray(rng.standard_normal((B, 3, COUT, 1)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.standard_normal(COUT) * 0.5 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(COUT) * 0.1, jnp.float32)
+    return x, w, wd, pb, db, a, b
+
+
+def _dense(x, w, wd, pb, db, a, b, ns=0.2):
+    p = jnp.einsum("oc,bjcn->bjon", w, x)
+    d = jnp.einsum("oc,bjcn->bjon", wd, x)
+    if pb is not None:
+        p = p + pb
+        d = d + db
+    return reference_bn_leaky_planes(p, d, a, b, ns)
+
+
+def _dense_stats(x, w, pb):
+    p = jnp.einsum("oc,bjcn->bjon", w, x)
+    if pb is not None:
+        p = p + pb
+    norm = jnp.linalg.norm(p, axis=1) + EPS  # (B, C, N)
+    return jnp.sum(norm, axis=(0, 2)), jnp.sum(norm * norm, axis=(0, 2))
+
+
+class TestForward:
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_matches_dense(self, data, with_bias):
+        x, w, wd, pb, db, a, b = data
+        if not with_bias:
+            pb = db = None
+        got = vn_layer_fused(x, w, wd, pb, db, a, b, 0.2, False, INTERP)
+        want = _dense(x, w, wd, pb, db, a, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_stats_match_dense(self, data, with_bias):
+        x, w, _, pb, _, _, _ = data
+        if not with_bias:
+            pb = None
+        s1, s2 = vn_layer_stats(x, w, pb, False, INTERP)
+        r1, r2 = _dense_stats(x, w, pb)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=2e-5)
+
+
+class TestBackward:
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_grads_match_autodiff(self, data, with_bias):
+        x, w, wd, pb, db, a, b = data
+        if not with_bias:
+            pb = db = None
+        rng = np.random.default_rng(3)
+        g = jnp.asarray(rng.standard_normal((B, 3, COUT, N)), jnp.float32)
+
+        def loss_fused(*args):
+            return jnp.sum(vn_layer_fused(*args, 0.2, False, INTERP) * g)
+
+        def loss_dense(*args):
+            return jnp.sum(_dense(*args) * g)
+
+        argnums = (0, 1, 2, 5, 6) if not with_bias else (0, 1, 2, 3, 4, 5, 6)
+        gf = jax.grad(loss_fused, argnums=argnums)(x, w, wd, pb, db, a, b)
+        gd = jax.grad(loss_dense, argnums=argnums)(x, w, wd, pb, db, a, b)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=3e-4)
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_stats_grads_match_autodiff(self, data, with_bias):
+        x, w, _, pb, _, _, _ = data
+        if not with_bias:
+            pb = None
+        c1 = jnp.linspace(0.5, 1.5, COUT)
+        c2 = jnp.linspace(-0.5, 0.5, COUT)
+
+        def loss_fused(*args):
+            s1, s2 = vn_layer_stats(*args, False, INTERP)
+            return jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        def loss_dense(*args):
+            s1, s2 = _dense_stats(*args)
+            return jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        argnums = (0, 1) if not with_bias else (0, 1, 2)
+        gf = jax.grad(loss_fused, argnums=argnums)(x, w, pb)
+        gd = jax.grad(loss_dense, argnums=argnums)(x, w, pb)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=3e-4)
+
+
+class TestEligibility:
+    def test_gate(self):
+        x_ok = jnp.zeros((2, 3, 256, 16384))
+        assert layer_eligible(x_ok, 256)
+        assert not layer_eligible(x_ok, 256, share_nonlinearity=True)
+        assert not layer_eligible(jnp.zeros((2, 3, 1024, 2048)), 1024)  # FLOP-dense
+        assert not layer_eligible(jnp.zeros((2, 3, 256, 2048)), 256)  # small N

@@ -92,6 +92,64 @@ class _VNSplitFoldLayer(nn.Module):
         return vn_fused.reference_bn_leaky_planes(p, d, a, b, self.negative_slope)
 
 
+class _VNSplitFoldLayerFused(nn.Module):
+    """_VNSplitFoldLayer on the whole-layer Pallas path (ops/vn_layer_fused).
+
+    Same parameter tree and math: the rank-2 seed/point matmuls run in-kernel
+    (C_in = 2) with the per-sample global contraction passed as a bias, so
+    the (B, latent+2, 3, Nd)-sized pre-activations never exist in HBM —
+    on top of the split-matmul trick this removes the remaining
+    (B, 3, C, Nd) p/d round-trips and the BN-stats autodiff chain.
+    """
+
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, glob_planes, seed_planes, point_planes,
+                 train: bool = False):
+        from vn_pointcloudcompletion_tpu.nn.precision import compute_dtype
+        from vn_pointcloudcompletion_tpu.nn.vn import (
+            _FoldedBN,
+            _channel_linear_plane,
+            torch_linear_init_fan,
+        )
+        from vn_pointcloudcompletion_tpu.ops import vn_layer_fused
+
+        cg = glob_planes.shape[2]
+        init = torch_linear_init_fan(cg + 2)
+        wg = self.param("kernel_global", init, (self.out_channels, cg))
+        ws = self.param("kernel_seed", init, (self.out_channels, 1))
+        wp = self.param("kernel_point", init, (self.out_channels, 1))
+        dg = self.param("dir_kernel_global", init, (self.out_channels, cg))
+        ds = self.param("dir_kernel_seed", init, (self.out_channels, 1))
+        dp = self.param("dir_kernel_point", init, (self.out_channels, 1))
+
+        pbias = _channel_linear_plane(wg, glob_planes)  # (B, 3, C, 1)
+        dbias = _channel_linear_plane(dg, glob_planes)
+        x2 = jnp.concatenate([seed_planes, point_planes], axis=2)  # (B,3,2,Nd)
+        w2 = jnp.concatenate([ws, wp], axis=1)  # (C, 2)
+        wd2 = jnp.concatenate([ds, dp], axis=1)
+
+        bf16 = compute_dtype() == jnp.bfloat16
+        interpret = jax.default_backend() != "tpu"
+        bn = _FoldedBN(self.out_channels, name="batchnorm")
+        if train:
+            s1, s2 = vn_layer_fused.vn_layer_stats(
+                x2, w2, pbias, bf16, interpret
+            )
+            cnt = x2.shape[0] * x2.shape[3]
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
+            a, b = bn(None, True, moments=(mean, var))
+        else:
+            a, b = bn(None, False)
+        return vn_layer_fused.vn_layer_fused(
+            x2, w2, wd2, pbias, dbias, a, b,
+            self.negative_slope, bf16, interpret,
+        )
+
+
 class _ScalarSplitFoldLayer(nn.Module):
     """Scalar analogue for FoldingNet/PCN's first final_conv layer:
     Conv1d over concat([glob, seed, point]) with the global part contracted
@@ -448,7 +506,14 @@ class VNFoldingNet(nn.Module):
         glob_planes = jnp.swapaxes(feature_global, 1, 2)  # (B, 3, latent, 1)
         # split first layer: global latent contracted once per sample instead
         # of broadcasting a (B, latent+2, 3, Nd) concat (see _VNSplitFoldLayer)
-        f = _VNSplitFoldLayer(256, name="final_conv_0")(
+        # On TPU at dense sizes the whole layer runs as Pallas kernels
+        # (matmuls + BN stats + epilogue in-kernel, same parameter tree).
+        split_cls = (
+            _VNSplitFoldLayerFused
+            if jax.default_backend() == "tpu" and num_dense >= 4096
+            else _VNSplitFoldLayer
+        )
+        f = split_cls(256, name="final_conv_0")(
             glob_planes, seed, point_feat, train=train
         )
         f = VNLinearLeakyReLU(256, layout="plane", name="final_conv_1")(

@@ -191,7 +191,7 @@ class _NormAffine(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, norm, train: bool):
+    def __call__(self, norm, train: bool, moments=None):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -202,10 +202,15 @@ class _NormAffine(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if train:
-            axes = (0,) + tuple(range(2, norm.ndim))
-            mean = jnp.mean(norm, axis=axes)
-            mean2 = jnp.mean(norm * norm, axis=axes)
-            var = mean2 - mean * mean
+            if moments is not None:
+                # caller provides (mean, biased var) — the fully-fused layer
+                # path computes them from in-kernel partial sums
+                mean, var = moments
+            else:
+                axes = (0,) + tuple(range(2, norm.ndim))
+                mean = jnp.mean(norm, axis=axes)
+                mean2 = jnp.mean(norm * norm, axis=axes)
+                var = mean2 - mean * mean
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -226,8 +231,10 @@ class _FoldedBN(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, norm, train: bool):
-        return _NormAffine(self.features, name="BatchNorm_0")(norm, train)
+    def __call__(self, norm, train: bool, moments=None):
+        return _NormAffine(self.features, name="BatchNorm_0")(
+            norm, train, moments=moments
+        )
 
 
 class VNLinearLeakyReLU(nn.Module):
@@ -248,16 +255,53 @@ class VNLinearLeakyReLU(nn.Module):
     negative_slope: float = 0.2
     layout: str = "vec"
     fused: "bool | None" = None
+    layer_fused: "bool | None" = None  # whole-layer Pallas op (matmul incl.)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from vn_pointcloudcompletion_tpu.ops import vn_fused
+        from vn_pointcloudcompletion_tpu.ops import vn_fused, vn_layer_fused
 
         if self.layout == "plane":
             c_in = x.shape[2]
             w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
             d_out = 1 if self.share_nonlinearity else self.out_channels
             wd = self.param("dir_kernel", torch_linear_init, (d_out, c_in))
+
+            # bandwidth-bound layers (small channels, many points) run the
+            # WHOLE layer — matmuls, BN stats, epilogue — as Pallas kernels
+            # that never materialise the (B, 3, C, N) pre-activations
+            use_layer = self.layer_fused
+            if use_layer is None:
+                use_layer = (
+                    jax.default_backend() == "tpu"
+                    and vn_layer_fused.layer_eligible(
+                        x, self.out_channels, self.share_nonlinearity
+                    )
+                )
+            if use_layer and vn_layer_fused.layer_eligible(
+                x, self.out_channels, self.share_nonlinearity
+            ):
+                from vn_pointcloudcompletion_tpu.nn.precision import (
+                    compute_dtype,
+                )
+
+                bf16 = compute_dtype() == jnp.bfloat16
+                interpret = jax.default_backend() != "tpu"
+                bn = _FoldedBN(self.out_channels, name="batchnorm")
+                if train:
+                    s1, s2 = vn_layer_fused.vn_layer_stats(
+                        x, w, None, bf16, interpret
+                    )
+                    cnt = x.shape[0] * x.shape[3]
+                    mean = s1 / cnt
+                    var = s2 / cnt - mean * mean
+                    a, b = bn(None, True, moments=(mean, var))
+                else:
+                    a, b = bn(None, False)
+                return vn_layer_fused.vn_layer_fused(
+                    x, w, wd, None, None, a, b,
+                    self.negative_slope, bf16, interpret,
+                )
             # separate matmuls measure FASTER than one stacked (2C, Cin)
             # matmul here: slicing the stacked output breaks XLA's epilogue
             # fusion into the BN/leaky chain (v5e: +2ms on the trunk)
