@@ -115,6 +115,89 @@ class TestBackward:
                                        atol=3e-4, rtol=3e-4)
 
 
+class TestGroupBias:
+    """group=S mode: per-group bias columns expanded in-register."""
+
+    S = 16
+    NG = 1100 // 16 * 16  # N must be a multiple of S for the group layout
+
+    def _data(self):
+        rng = np.random.default_rng(13)
+        n = self.NG
+        x = jnp.asarray(rng.standard_normal((B, 3, CIN, n)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((COUT, CIN)) * 0.2, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((COUT, CIN)) * 0.2, jnp.float32)
+        pb = jnp.asarray(
+            rng.standard_normal((B, 3, COUT, n // self.S)) * 0.3, jnp.float32)
+        db = jnp.asarray(
+            rng.standard_normal((B, 3, COUT, n // self.S)) * 0.3, jnp.float32)
+        a = jnp.asarray(rng.standard_normal(COUT) * 0.5 + 1.0, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(COUT) * 0.1, jnp.float32)
+        return x, w, wd, pb, db, a, b
+
+    @staticmethod
+    def _expand(bias, s):
+        bsz, _, c, g = bias.shape
+        e = jnp.broadcast_to(bias[..., None], (bsz, 3, c, g, s))
+        return e.reshape(bsz, 3, c, g * s)
+
+    def test_forward_matches_dense(self):
+        x, w, wd, pb, db, a, b = self._data()
+        got = vn_layer_fused(x, w, wd, pb, db, a, b, 0.2, False, INTERP, self.S)
+        want = _dense(x, w, wd, self._expand(pb, self.S),
+                      self._expand(db, self.S), a, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_stats_match_dense(self):
+        x, w, _, pb, _, _, _ = self._data()
+        s1, s2 = vn_layer_stats(x, w, pb, False, INTERP, self.S)
+        r1, r2 = _dense_stats(x, w, self._expand(pb, self.S))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=2e-5)
+
+    def test_grads_match_autodiff(self):
+        x, w, wd, pb, db, a, b = self._data()
+        rng = np.random.default_rng(17)
+        g = jnp.asarray(
+            rng.standard_normal((B, 3, COUT, self.NG)), jnp.float32)
+
+        def loss_fused(x, w, wd, pb, db, a, b):
+            return jnp.sum(
+                vn_layer_fused(x, w, wd, pb, db, a, b, 0.2, False, INTERP,
+                               self.S) * g)
+
+        def loss_dense(x, w, wd, pb, db, a, b):
+            return jnp.sum(_dense(x, w, wd, self._expand(pb, self.S),
+                                  self._expand(db, self.S), a, b) * g)
+
+        argnums = (0, 1, 2, 3, 4, 5, 6)
+        gf = jax.grad(loss_fused, argnums=argnums)(x, w, wd, pb, db, a, b)
+        gd = jax.grad(loss_dense, argnums=argnums)(x, w, wd, pb, db, a, b)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=3e-4)
+
+    def test_stats_grads_match_autodiff(self):
+        x, w, _, pb, _, _, _ = self._data()
+        c1 = jnp.linspace(0.5, 1.5, COUT)
+        c2 = jnp.linspace(-0.5, 0.5, COUT)
+
+        def loss_fused(x, w, pb):
+            s1, s2 = vn_layer_stats(x, w, pb, False, INTERP, self.S)
+            return jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        def loss_dense(x, w, pb):
+            s1, s2 = _dense_stats(x, w, self._expand(pb, self.S))
+            return jnp.sum(s1 * c1) + jnp.sum(s2 * c2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, pb)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(x, w, pb)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=3e-4)
+
+
 class TestEligibility:
     def test_gate(self):
         x_ok = jnp.zeros((2, 3, 256, 16384))

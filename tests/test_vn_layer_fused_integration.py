@@ -8,6 +8,8 @@ import pytest
 from vn_pointcloudcompletion_tpu.models.pcn import (
     _VNSplitFoldLayer,
     _VNSplitFoldLayerFused,
+    _VNSplitPairFoldLayer,
+    _VNSplitPairFoldLayerFused,
 )
 from vn_pointcloudcompletion_tpu.nn.vn import VNLinearLeakyReLU
 
@@ -133,3 +135,64 @@ class TestSplitFoldLayerFused:
             # near-zero elements while the leaf norms agree to ~1e-3
             scale = max(1.0, float(np.abs(a).max()))
             np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
+class TestPairFoldLayerFused:
+    """Attention decoder's per-centre fold layer: group-bias Pallas path."""
+
+    def _data(self):
+        rng = np.random.default_rng(23)
+        n, s = 64, 16  # 1024 grid points
+        feat = jnp.asarray(rng.standard_normal((2, 3, 64, n)), jnp.float32)
+        var = jnp.asarray(rng.standard_normal((2, 3, 1, n * s)), jnp.float32)
+        return feat, var, s
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_forward_and_stats_match(self, train):
+        feat, var, s = self._data()
+        ref = _VNSplitPairFoldLayer(128)
+        fus = _VNSplitPairFoldLayerFused(128)
+        v = ref.init(jax.random.key(0), feat, var, s, train=True)
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(
+                    fus.init(jax.random.key(0), feat, var, s, train=True)))
+        if train:
+            out_r, mut_r = ref.apply(v, feat, var, s, train=True,
+                                     mutable=["batch_stats"])
+            out_f, mut_f = fus.apply(v, feat, var, s, train=True,
+                                     mutable=["batch_stats"])
+            for rr, ff in zip(jax.tree_util.tree_leaves(mut_r),
+                              jax.tree_util.tree_leaves(mut_f)):
+                np.testing.assert_allclose(rr, ff, rtol=1e-5, atol=1e-6)
+            tol = 5e-4  # var-cancellation tail, see TestSplitFoldLayerFused
+        else:
+            out_r = ref.apply(v, feat, var, s, train=False)
+            out_f = fus.apply(v, feat, var, s, train=False)
+            tol = 3e-5
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   atol=tol, rtol=tol)
+
+    def test_grads_match(self):
+        feat, var, s = self._data()
+        ref = _VNSplitPairFoldLayer(128)
+        fus = _VNSplitPairFoldLayerFused(128)
+        v = ref.init(jax.random.key(0), feat, var, s, train=True)
+
+        def loss(mod, params, feat):
+            out, _ = mod.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                feat, var, s, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out)
+
+        gr = jax.grad(lambda p: loss(ref, p, feat))(v["params"])
+        gf = jax.grad(lambda p: loss(fus, p, feat))(v["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gf)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+        gx_r = jax.grad(lambda f: loss(ref, v["params"], f))(feat)
+        gx_f = jax.grad(lambda f: loss(fus, v["params"], f))(feat)
+        scale = max(1.0, float(np.abs(np.asarray(gx_r)).max()))
+        np.testing.assert_allclose(np.asarray(gx_r) / scale,
+                                   np.asarray(gx_f) / scale, atol=2e-3)

@@ -229,6 +229,67 @@ class _VNSplitPairFoldLayer(nn.Module):
         return vn_fused.reference_bn_leaky_planes(p, d, a, bb, self.negative_slope)
 
 
+class _VNSplitPairFoldLayerFused(nn.Module):
+    """_VNSplitPairFoldLayer on the whole-layer Pallas path (group bias).
+
+    Same parameter tree and math: the per-centre feature contraction
+    (B, 3, C, N) rides as a ``group=S`` bias expanded in-register, the
+    1-channel varying input is the in-kernel matmul — the expanded
+    (B, 3, C, N*S) pre-activations never exist in HBM.
+    """
+
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, feat, var, s: int, train: bool = False):
+        from vn_pointcloudcompletion_tpu.nn.precision import compute_dtype
+        from vn_pointcloudcompletion_tpu.nn.vn import (
+            _FoldedBN,
+            _channel_linear_plane,
+            torch_linear_init_fan,
+        )
+        from vn_pointcloudcompletion_tpu.ops import vn_layer_fused
+
+        b, _, cf, n = feat.shape
+        ns = n * s
+        init = torch_linear_init_fan(cf + 1)  # concat fan-in
+        wv = self.param("kernel_var", init, (self.out_channels, 1))
+        wf = self.param("kernel_feat", init, (self.out_channels, cf))
+        dv = self.param("dir_kernel_var", init, (self.out_channels, 1))
+        df = self.param("dir_kernel_feat", init, (self.out_channels, cf))
+
+        pbias = _channel_linear_plane(wf, feat)  # (B, 3, C, N) per centre
+        dbias = _channel_linear_plane(df, feat)
+
+        bf16 = compute_dtype() == jnp.bfloat16
+        interpret = jax.default_backend() != "tpu"
+        bn = _FoldedBN(self.out_channels, name="batchnorm")
+        if train:
+            s1, s2 = vn_layer_fused.vn_layer_stats(
+                var, wv, pbias, bf16, interpret, s
+            )
+            cnt = b * ns
+            mean = s1 / cnt
+            var_m = s2 / cnt - mean * mean
+            a, bb = bn(None, True, moments=(mean, var_m))
+        else:
+            a, bb = bn(None, False)
+        return vn_layer_fused.vn_layer_fused(
+            var, wv, dv, pbias, dbias, a, bb,
+            self.negative_slope, bf16, interpret, s,
+        )
+
+
+def _pair_fold_cls(s: int, ns: int):
+    """Pick the Pallas whole-layer path when the shape supports it."""
+    from vn_pointcloudcompletion_tpu.ops.vn_layer_fused import TN
+
+    if jax.default_backend() == "tpu" and ns >= 4096 and TN % s == 0:
+        return _VNSplitPairFoldLayerFused
+    return _VNSplitPairFoldLayer
+
+
 def _dense_layout(coarse: jnp.ndarray, grid_size: int):
     """Tile each coarse point over its fold grid, reference ordering.
 
@@ -320,9 +381,22 @@ def _linear_maxpool_planes(w, wd, x):
     gradient either way (argmax selection is non-differentiable, as in the
     reference).
     """
+    from vn_pointcloudcompletion_tpu.nn.precision import compute_dtype
     from vn_pointcloudcompletion_tpu.nn.vn import _channel_linear_plane
 
-    wdc = jax.lax.stop_gradient(wd @ w)  # (Cout, Cin), f32 composition
+    if compute_dtype() == jnp.bfloat16:
+        # the composed map is consumed as bf16 by the channel matmul anyway,
+        # so compose on the fast bf16 MXU path (f32 accumulation); the f32
+        # compose was a 34 GFLOP f32 matmul on every step
+        wdc = jax.lax.stop_gradient(
+            jax.lax.dot_general(
+                wd.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    else:
+        wdc = jax.lax.stop_gradient(wd @ w)  # (Cout, Cin), f32 composition
     f = _channel_linear_plane(w, x)  # (B, 3, Cout, N)
     d = _channel_linear_plane(wdc, x)
     dot = jnp.sum(f * d, axis=1, keepdims=True)  # (B, 1, Cout, N)
@@ -566,7 +640,8 @@ class AttentionVNFoldingNet(nn.Module):
         seed = jnp.broadcast_to(seed[None, :, None, None, :], (b, 3, 1, n, s))
         seed = seed.reshape(b, 3, 1, n * s)
 
-        h = _VNSplitPairFoldLayer(256, name="vn_folding1_0")(
+        pair_cls = _pair_fold_cls(s, n * s)
+        h = pair_cls(256, name="vn_folding1_0")(
             feat, seed, s, train=train
         )
         h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding1_1")(
@@ -574,7 +649,7 @@ class AttentionVNFoldingNet(nn.Module):
         )
         fd1 = VNLinear(1, layout="plane", name="vn_folding1_2")(h)  # (B,3,1,NS)
 
-        h = _VNSplitPairFoldLayer(256, name="vn_folding2_0")(
+        h = pair_cls(256, name="vn_folding2_0")(
             feat, fd1, s, train=train
         )
         h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding2_1")(

@@ -71,21 +71,49 @@ def _dot(w_ref, x_plane, bf16: bool):
     )
 
 
-def _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16: bool):
+def _expand_mat(group: int, g_pad: int, tile_j):
+    """(G, TN) 0/1 matrix expanding per-group bias columns to this tile's
+    columns: E[g, n] = [(tile_j * TN + n) // group == g].  Generated
+    in-register; the bias block holds ALL groups (a few hundred KB, resident
+    across tiles) because narrow per-tile blocks violate the TPU lane-dim
+    block constraints."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g_pad, TN), 0)
+    ni = (jax.lax.broadcasted_iota(jnp.int32, (g_pad, TN), 1)
+          + tile_j * TN) // group
+    return (gi == ni).astype(jnp.float32)
+
+
+def _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16: bool,
+                group: int = 0, tile_j=None):
     """Recompute p, d planes for one (1, 3, C_in, TN) input block.
 
     Under bf16 the accumulated planes are rounded through bf16 before the
     epilogue — the unfused path stores ``p``/``d`` as bf16 activations, so
     this keeps the fused layer bit-compatible with it (stats included).
+
+    ``group > 0``: the bias blocks hold one column per ``group`` output
+    columns (the fold decoders' per-centre features, constant across each
+    centre's S grid points); they are expanded in-register via a constant
+    0/1 matmul, so the (B, 3, C, N*S) expansion never exists in HBM.
     """
+    e = _expand_mat(group, pb_ref.shape[3], tile_j) if group else None
     p, d = [], []
     for j in range(3):
         xj = x_ref[0, j]
         pj = _dot(w_ref, xj, bf16)
         dj = _dot(wd_ref, xj, bf16)
         if pb_ref is not None:
-            pj = pj + pb_ref[0, j].astype(jnp.float32)  # (C_out, 1) broadcast
-            dj = dj + db_ref[0, j].astype(jnp.float32)
+            pb = pb_ref[0, j].astype(jnp.float32)
+            db = db_ref[0, j].astype(jnp.float32)
+            if group:
+                pb = jax.lax.dot_general(
+                    pb, e, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db = jax.lax.dot_general(
+                    db, e, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            pj = pj + pb  # (C_out, 1) or (C_out, TN)
+            dj = dj + db
         if bf16:
             pj = pj.astype(jnp.bfloat16).astype(jnp.float32)
             dj = dj.astype(jnp.bfloat16).astype(jnp.float32)
@@ -112,14 +140,15 @@ def _epilogue(p, d, a, b, ns):
 # ----------------------------------------------------------------------------
 
 
-def _stats_fwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool):
+def _stats_fwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool,
+                      group: int):
     if has_bias:
         pb_ref, s1_ref, s2_ref = rest
     else:
         (s1_ref, s2_ref) = rest
         pb_ref = None
     j = pl.program_id(1)
-    p, _d = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16)
+    p, _d = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16, group, j)
     # (the direction planes from the dummy second matmul are unused; XLA/Mosaic
     # dead-code-eliminates them — see _compute_pd call with w twice)
     p0, p1, p2 = p
@@ -138,14 +167,15 @@ def _stats_fwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool):
     s2_ref[0, 0, :] += jnp.sum(n2, axis=1)
 
 
-def _stats_bwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool):
+def _stats_bwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool,
+                      group: int):
     if has_bias:
         pb_ref, c1_ref, c2_ref, dx_ref, dw_ref, dpb_ref = rest
     else:
         c1_ref, c2_ref, dx_ref, dw_ref = rest
         pb_ref = dpb_ref = None
     j = pl.program_id(1)
-    p, _ = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16)
+    p, _ = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16, group, j)
     p0, p1, p2 = p
     pnorm = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
     norm_e = pnorm + EPS
@@ -165,6 +195,7 @@ def _stats_bwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool):
         if dpb_ref is not None:
             dpb_ref[...] = jnp.zeros_like(dpb_ref)
 
+    e_t = (_expand_mat(group, dpb_ref.shape[3], j).T if group else None)
     for jj in range(3):
         dpj = dp[jj]
         xj = x_ref[0, jj]
@@ -185,11 +216,17 @@ def _stats_bwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool):
         dx_ref[0, jj] = dx.astype(dx_ref.dtype)
         dw_ref[0] += dw
         if dpb_ref is not None:
-            dpb_ref[0, jj, :, 0] += jnp.sum(dpj, axis=1)
+            if group:
+                dpb_ref[0, jj] += jax.lax.dot_general(
+                    dpj, e_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dpb_ref[0, jj, :, 0] += jnp.sum(dpj, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def vn_layer_stats(x, w, pbias, bf16: bool = False, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def vn_layer_stats(x, w, pbias, bf16: bool = False, interpret: bool = False,
+                   group: int = 0):
     """Per-channel norm sums of the (recomputed) pre-activation ``p = W x``.
 
     x: (B, 3, C_in, N); w: (C_out, C_in); pbias: (B, 3, C_out, 1) or None.
@@ -197,37 +234,48 @@ def vn_layer_stats(x, w, pbias, bf16: bool = False, interpret: bool = False):
     ``|p| + EPS`` and ``(|p| + EPS)^2`` — feed to the BN moment math as
     ``mean = s1 / (B*N)``, ``mean2 = s2 / (B*N)``.
     """
-    out, _ = _stats_fwd(x, w, pbias, bf16, interpret)
+    out, _ = _stats_fwd(x, w, pbias, bf16, interpret, group)
     return out
 
 
-def _stats_specs(bsz, c_in, c_out, has_bias):
+def _bias_spec(c_out, group, g_pad=0):
+    if group:
+        return pl.BlockSpec((1, 3, c_out, g_pad), lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, 3, c_out, 1), lambda i, j: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _stats_specs(bsz, c_in, c_out, has_bias, group=0, g_pad=0):
     x_spec = pl.BlockSpec((1, 3, c_in, TN), lambda i, j: (i, 0, 0, j),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((c_out, c_in), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    pb_spec = pl.BlockSpec((1, 3, c_out, 1), lambda i, j: (i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    pb_spec = _bias_spec(c_out, group, g_pad)
     s_spec = pl.BlockSpec((1, 1, c_out), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     return x_spec, w_spec, pb_spec, s_spec
 
 
-def _stats_fwd(x, w, pbias, bf16, interpret):
+def _stats_fwd(x, w, pbias, bf16, interpret, group=0):
     bsz, _, c_in, n = x.shape
     c_out = w.shape[0]
     has_bias = pbias is not None
+    assert not group or (TN % group == 0 and pbias is not None)
     n_pad = -(-n // TN) * TN
     x_p = _pad_n(x, n_pad)
     nv = jnp.full((1,), n, jnp.int32)
-    x_spec, w_spec, pb_spec, s_spec = _stats_specs(bsz, c_in, c_out, has_bias)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, pb_spec, s_spec = _stats_specs(
+        bsz, c_in, c_out, has_bias, group, g_pad)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec, w_spec]
     args = [nv, x_p, w]
     if has_bias:
         in_specs.append(pb_spec)
-        args.append(pbias)
+        args.append(_pad_n(pbias, g_pad) if group else pbias)
     s1, s2 = pl.pallas_call(
-        functools.partial(_stats_fwd_kernel, bf16=bf16, has_bias=has_bias),
+        functools.partial(_stats_fwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
         grid=(bsz, n_pad // TN),
         in_specs=in_specs,
         out_specs=[s_spec, s_spec],
@@ -239,7 +287,7 @@ def _stats_fwd(x, w, pbias, bf16, interpret):
     return (jnp.sum(s1, axis=(0, 1)), jnp.sum(s2, axis=(0, 1))), (x, w, pbias)
 
 
-def _stats_bwd(bf16, interpret, res, cts):
+def _stats_bwd(bf16, interpret, group, res, cts):
     x, w, pbias = res
     c1, c2 = cts
     bsz, _, c_in, n = x.shape
@@ -248,14 +296,16 @@ def _stats_bwd(bf16, interpret, res, cts):
     n_pad = -(-n // TN) * TN
     x_p = _pad_n(x, n_pad)
     nv = jnp.full((1,), n, jnp.int32)
-    x_spec, w_spec, pb_spec, s_spec = _stats_specs(bsz, c_in, c_out, has_bias)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, pb_spec, s_spec = _stats_specs(
+        bsz, c_in, c_out, has_bias, group, g_pad)
     dw_spec = pl.BlockSpec((1, c_out, c_in), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec, w_spec]
     args = [nv, x_p, w]
     if has_bias:
         in_specs.append(pb_spec)
-        args.append(pbias)
+        args.append(_pad_n(pbias, g_pad) if group else pbias)
     in_specs += [s_spec, s_spec]
     args += [jnp.broadcast_to(c1.reshape(1, 1, c_out).astype(jnp.float32),
                               (bsz, 1, c_out)),
@@ -268,9 +318,11 @@ def _stats_bwd(bf16, interpret, res, cts):
     ]
     if has_bias:
         out_specs.append(pb_spec)
-        out_shape.append(jax.ShapeDtypeStruct((bsz, 3, c_out, 1), jnp.float32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, 3, c_out, g_pad or 1), jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_stats_bwd_kernel, bf16=bf16, has_bias=has_bias),
+        functools.partial(_stats_bwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
         grid=(bsz, n_pad // TN),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -281,12 +333,18 @@ def _stats_bwd(bf16, interpret, res, cts):
     )(*args)
     dx = outs[0][:, :, :, :n]
     dw = jnp.sum(outs[1], axis=0)
-    dpb = outs[2].astype(pbias.dtype) if has_bias else None
+    if has_bias:
+        dpb = outs[2].astype(pbias.dtype)
+        if group:
+            dpb = dpb[:, :, :, : pbias.shape[3]]
+    else:
+        dpb = None
     return dx, dw.astype(w.dtype), dpb
 
 
 vn_layer_stats.defvjp(
-    lambda x, w, pbias, bf16, interpret: _stats_fwd(x, w, pbias, bf16, interpret),
+    lambda x, w, pbias, bf16, interpret, group: _stats_fwd(
+        x, w, pbias, bf16, interpret, group),
     _stats_bwd,
 )
 
@@ -297,14 +355,15 @@ vn_layer_stats.defvjp(
 
 
 def _layer_fwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
-                      bf16: bool, has_bias: bool):
+                      bf16: bool, has_bias: bool, group: int):
     if has_bias:
         pb_ref, db_ref, a_ref, b_ref, out_ref = rest
     else:
         a_ref, b_ref, out_ref = rest
         pb_ref = db_ref = None
     ns = ns_ref[0]
-    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16)
+    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16, group,
+                       pl.program_id(1))
     a = a_ref[0, :].reshape(-1, 1)
     b = b_ref[0, :].reshape(-1, 1)
     o0, o1, o2 = _epilogue(p, d, a, b, ns)
@@ -314,7 +373,7 @@ def _layer_fwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
 
 
 def _layer_bwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
-                      bf16: bool, has_bias: bool):
+                      bf16: bool, has_bias: bool, group: int):
     if has_bias:
         (pb_ref, db_ref, a_ref, b_ref, g_ref,
          dx_ref, dw_ref, dwd_ref, da_ref, db2_ref, dpb_ref, ddb_ref) = rest
@@ -324,7 +383,7 @@ def _layer_bwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
         pb_ref = db_ref = dpb_ref = ddb_ref = None
     ns = ns_ref[0]
     j = pl.program_id(1)
-    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16)
+    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16, group, j)
     p0, p1, p2 = p
     d0, d1, d2 = d
     a = a_ref[0, :].reshape(-1, 1)
@@ -372,6 +431,7 @@ def _layer_bwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
 
     dps = (dp0, dp1, dp2)
     dds = (dd0, dd1, dd2)
+    e_t = (_expand_mat(group, dpb_ref.shape[3], j).T if group else None)
     for jj in range(3):
         dpj, ddj = dps[jj], dds[jj]
         xj = x_ref[0, jj]
@@ -410,32 +470,42 @@ def _layer_bwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
         dw_ref[0] += dw
         dwd_ref[0] += dwd
         if dpb_ref is not None:
-            dpb_ref[0, jj, :, 0] += jnp.sum(dpj, axis=1)
-            ddb_ref[0, jj, :, 0] += jnp.sum(ddj, axis=1)
+            if group:
+                dpb_ref[0, jj] += jax.lax.dot_general(
+                    dpj, e_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ddb_ref[0, jj] += jax.lax.dot_general(
+                    ddj, e_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dpb_ref[0, jj, :, 0] += jnp.sum(dpj, axis=1)
+                ddb_ref[0, jj, :, 0] += jnp.sum(ddj, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def vn_layer_fused(x, w, wd, pbias, dbias, a, b,
                    negative_slope: float, bf16: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, group: int = 0):
     """One-pass VN layer: ``bn_leaky(W x (+pbias), Wd x (+dbias))``.
 
-    x: (B, 3, C_in, N) planes; w, wd: (C_out, C_in); pbias/dbias: per-sample
-    (B, 3, C_out, 1) constants or both None; a, b: (C_out,) folded-BN affine.
-    Semantics identical to ``_channel_linear_plane`` + ``fused_bn_leaky``.
+    x: (B, 3, C_in, N) planes; w, wd: (C_out, C_in); a, b: (C_out,)
+    folded-BN affine.  pbias/dbias are per-sample (B, 3, C_out, 1) constants
+    (``group=0``), per-group (B, 3, C_out, N//group) features expanded
+    in-register (``group=S``, the fold decoders' per-centre features), or
+    both None.  Semantics identical to ``_channel_linear_plane`` +
+    ``fused_bn_leaky`` over the expanded bias.
     """
     out, _ = _layer_fwd(x, w, wd, pbias, dbias, a, b,
-                        negative_slope, bf16, interpret)
+                        negative_slope, bf16, interpret, group)
     return out
 
 
-def _layer_specs(c_in, c_out):
+def _layer_specs(c_in, c_out, group=0, g_pad=0):
     x_spec = pl.BlockSpec((1, 3, c_in, TN), lambda i, j: (i, 0, 0, j),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((c_out, c_in), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, 3, c_out, 1), lambda i, j: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    bias_spec = _bias_spec(c_out, group, g_pad)
     ab_spec = pl.BlockSpec((1, c_out), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 3, c_out, TN), lambda i, j: (i, 0, 0, j),
@@ -443,24 +513,32 @@ def _layer_specs(c_in, c_out):
     return x_spec, w_spec, bias_spec, ab_spec, out_spec
 
 
-def _layer_fwd(x, w, wd, pbias, dbias, a, b, negative_slope, bf16, interpret):
+def _layer_fwd(x, w, wd, pbias, dbias, a, b, negative_slope, bf16, interpret,
+               group=0):
     bsz, _, c_in, n = x.shape
     c_out = w.shape[0]
     has_bias = pbias is not None
+    assert not group or (TN % group == 0 and has_bias)
     n_pad = -(-n // TN) * TN
     x_p = _pad_n(x, n_pad)
     ns_arr = jnp.full((1,), negative_slope, jnp.float32)
-    x_spec, w_spec, bias_spec, ab_spec, out_spec = _layer_specs(c_in, c_out)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, bias_spec, ab_spec, out_spec = _layer_specs(
+        c_in, c_out, group, g_pad)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec, w_spec, w_spec]
     args = [ns_arr, x_p, w, wd]
     if has_bias:
         in_specs += [bias_spec, bias_spec]
-        args += [pbias, dbias]
+        if group:
+            args += [_pad_n(pbias, g_pad), _pad_n(dbias, g_pad)]
+        else:
+            args += [pbias, dbias]
     in_specs += [ab_spec, ab_spec]
     args += [a.reshape(1, c_out).astype(jnp.float32),
              b.reshape(1, c_out).astype(jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_layer_fwd_kernel, bf16=bf16, has_bias=has_bias),
+        functools.partial(_layer_fwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
         grid=(bsz, n_pad // TN),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -472,7 +550,7 @@ def _layer_fwd(x, w, wd, pbias, dbias, a, b, negative_slope, bf16, interpret):
     return out[:, :, :, :n], (x, w, wd, pbias, dbias, a, b)
 
 
-def _layer_bwd(negative_slope, bf16, interpret, res, g):
+def _layer_bwd(negative_slope, bf16, interpret, group, res, g):
     x, w, wd, pbias, dbias, a, b = res
     bsz, _, c_in, n = x.shape
     c_out = w.shape[0]
@@ -481,7 +559,9 @@ def _layer_bwd(negative_slope, bf16, interpret, res, g):
     x_p = _pad_n(x, n_pad)
     g_p = _pad_n(g, n_pad)  # zero-padded cols contribute nothing
     ns_arr = jnp.full((1,), negative_slope, jnp.float32)
-    x_spec, w_spec, bias_spec, ab_spec, out_spec = _layer_specs(c_in, c_out)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, bias_spec, ab_spec, out_spec = _layer_specs(
+        c_in, c_out, group, g_pad)
     dw_spec = pl.BlockSpec((1, c_out, c_in), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     dab_spec = pl.BlockSpec((1, 1, c_out), lambda i, j: (i, 0, 0),
@@ -490,7 +570,10 @@ def _layer_bwd(negative_slope, bf16, interpret, res, g):
     args = [ns_arr, x_p, w, wd]
     if has_bias:
         in_specs += [bias_spec, bias_spec]
-        args += [pbias, dbias]
+        if group:
+            args += [_pad_n(pbias, g_pad), _pad_n(dbias, g_pad)]
+        else:
+            args += [pbias, dbias]
     in_specs += [ab_spec, ab_spec, out_spec]
     args += [a.reshape(1, c_out).astype(jnp.float32),
              b.reshape(1, c_out).astype(jnp.float32), g_p]
@@ -504,9 +587,11 @@ def _layer_bwd(negative_slope, bf16, interpret, res, g):
     ]
     if has_bias:
         out_specs += [bias_spec, bias_spec]
-        out_shape += [jax.ShapeDtypeStruct((bsz, 3, c_out, 1), jnp.float32)] * 2
+        out_shape += [
+            jax.ShapeDtypeStruct((bsz, 3, c_out, g_pad or 1), jnp.float32)] * 2
     outs = pl.pallas_call(
-        functools.partial(_layer_bwd_kernel, bf16=bf16, has_bias=has_bias),
+        functools.partial(_layer_bwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
         grid=(bsz, n_pad // TN),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -523,13 +608,16 @@ def _layer_bwd(negative_slope, bf16, interpret, res, g):
     if has_bias:
         dpb = outs[5].astype(pbias.dtype)
         ddb = outs[6].astype(dbias.dtype)
+        if group:
+            dpb = dpb[:, :, :, : pbias.shape[3]]
+            ddb = ddb[:, :, :, : dbias.shape[3]]
     else:
         dpb = ddb = None
     return dx, dw, dwd, dpb, ddb, da, db
 
 
 vn_layer_fused.defvjp(
-    lambda x, w, wd, pbias, dbias, a, b, ns, bf16, interpret: _layer_fwd(
-        x, w, wd, pbias, dbias, a, b, ns, bf16, interpret),
+    lambda x, w, wd, pbias, dbias, a, b, ns, bf16, interpret, group: (
+        _layer_fwd(x, w, wd, pbias, dbias, a, b, ns, bf16, interpret, group)),
     _layer_bwd,
 )
