@@ -159,24 +159,36 @@ def _cross_term(idx, g, pts, n_rows):
     return s[..., :-1], s[..., -1:]
 
 
+def _grad_side(g_self, other, g_other, i_self, i_other, self_pts):
+    """Gradient w.r.t. one cloud given the other side's table.
+
+    ``d_self = |self - other[i_self]|^2`` and the cross term from the other
+    direction's matches ``i_other`` scattered back onto ``self``.
+
+    Rejected-with-data alternative: a Pallas sweep computing both the gather
+    and the moment scatter as (TN, TMC) masked dots
+    (ops/chamfer_pallas_bwd.py) measures dense bwd 19.4 ms vs 10.4 ms here —
+    the 8-output-lane MXU dots run at ~6% lane utilisation, the same failure
+    mode as the rejected MXU cross-term chamfer forward.  XLA's gather plus
+    ONE widened scatter stays the fastest known formulation.
+    """
+    other_nn = jnp.take_along_axis(other, i_self[..., None], axis=1)
+    t, s = _cross_term(i_other, g_other, other, self_pts.shape[1])
+    return 2.0 * (g_self[..., None] * (self_pts - other_nn)
+                  + self_pts * s - t)
+
+
 def _chamfer_bwd(res, grads):
     x, y, i1, i2 = res
     g1, g2, _, _ = grads
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    n, m = x.shape[1], y.shape[1]
 
     # d1_n = |x_n - y_{i1_n}|^2  ->  dx_n += 2 g1_n (x_n - y_nn), dy_{i1_n} -= same
-    y_nn = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, D)
-    t2, s2 = _cross_term(i2, g2, y, n)
-    gx = 2.0 * (g1[..., None] * (x - y_nn) + x * s2 - t2)
-
-    # d2_m = |y_m - x_{i2_m}|^2  ->  dy_m += 2 g2_m (y_m - x_nn), dx_{i2_m} -= same
-    # (this whole side is dead code under XLA DCE when y carries no gradient,
-    # the training case — including the x_nn gather)
-    x_nn = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, D)
-    t1, s1 = _cross_term(i1, g1, x, m)
-    gy = 2.0 * (g2[..., None] * (y - x_nn) + y * s1 - t1)
+    gx = _grad_side(g1, y, g2, i1, i2, x)
+    # d2_m = |y_m - x_{i2_m}|^2 — this whole side is dead code under XLA DCE
+    # when y carries no gradient (the training case)
+    gy = _grad_side(g2, x, g1, i2, i1, y)
     # cotangents must match the primal dtypes (bf16 inputs are supported)
     return gx.astype(res[0].dtype), gy.astype(res[1].dtype)
 
