@@ -156,6 +156,29 @@ def bench_eval_step(batch_size: int = 16, iters: int = 10, warmup: int = 2):
     return iters / dt * batch_size, iters / dt
 
 
+def bench_emd_eval(batch_size: int = 8, iters: int = 5, warmup: int = 1):
+    """Batched streaming approx-EMD at 16384 points (the --emd eval path).
+
+    The blocked kernel never materialises the (M, N) soft match (1 GB/sample
+    dense), so the whole batch evaluates at once — the reference's EMD eval
+    is one sample at a time on a CUDA kernel."""
+    from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance_blocked
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((batch_size, 16384, 3)), jnp.float32) * 0.2
+    b = jnp.asarray(rng.standard_normal((batch_size, 16384, 3)), jnp.float32) * 0.2
+    fn = jax.jit(earth_mover_distance_blocked)
+    for _ in range(warmup):
+        out = fn(a, b)
+    float(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(a, b)
+    float(out[0])
+    dt = time.perf_counter() - t0
+    return iters / dt * batch_size, iters / dt
+
+
 def main():
     t_start = time.perf_counter()
     completions_per_sec, steps_per_sec = bench_train_step()
@@ -166,6 +189,7 @@ def main():
     for name, args in (
         ("vn_pointr_train", ("vn_pointr", "attention_vn_foldingnet", 448, 14336)),
         ("dgcnn_fps_train", ("dgcnn_fps", "foldingnet", 1024, 16384)),
+        ("vn_dgcnn_fps_train", ("vn_dgcnn_fps", "vn_foldingnet", 1024, 16384)),
     ):
         if time.perf_counter() - t_start > budget_s:
             extras[name] = {"skipped": "time budget"}
@@ -185,6 +209,15 @@ def main():
                                    "batch_size": 16}
     except Exception as e:
         extras["flagship_eval"] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    try:
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError("time budget")
+        cps, sps = bench_emd_eval()
+        extras["emd_eval_16384"] = {"clouds_per_sec": round(cps, 2),
+                                    "batches_per_sec": round(sps, 3),
+                                    "batch_size": 8}
+    except Exception as e:
+        extras["emd_eval_16384"] = {"error": f"{type(e).__name__}: {e}"[:160]}
     print(
         json.dumps(
             {
