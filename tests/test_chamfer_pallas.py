@@ -69,3 +69,45 @@ class TestBwdSweep:
         np.testing.assert_allclose(np.asarray(y_nn), ref_nn, atol=1e-5)
         np.testing.assert_allclose(np.asarray(t), ref_t, atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-4, rtol=1e-4)
+
+
+class TestTopkMinPallas:
+    """VMEM-resident k-smallest extraction vs lax.top_k (interpret mode)."""
+
+    @pytest.mark.parametrize("n,m,k", [(300, 1000, 16), (256, 128, 8),
+                                       (70, 257, 5)])
+    def test_matches_topk(self, rng, n, m, k):
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.ops.knn_pallas import topk_min_pallas
+
+        d = jnp.asarray(rng.standard_normal((2, n, m)).astype(np.float32) ** 2)
+        vals, idx = topk_min_pallas(d, k, interpret=True)
+        ref_nd, ref_i = jax.lax.top_k(-d, k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(-ref_nd),
+                                   atol=1e-6)
+        # values ascending; index SETS equal (tie order may differ)
+        assert (np.diff(np.asarray(vals), axis=-1) >= 0).all()
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=-1),
+                                      np.sort(np.asarray(ref_i), axis=-1))
+
+    def test_value_grads_match_topk(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.ops.knn_pallas import topk_min_pallas
+
+        d = jnp.asarray(rng.standard_normal((2, 60, 90)).astype(np.float32) ** 2)
+
+        def loss_pallas(d):
+            vals, _ = topk_min_pallas(d, 7, True)
+            return jnp.sum(vals * vals)
+
+        def loss_topk(d):
+            nd, _ = jax.lax.top_k(-d, 7)
+            return jnp.sum(nd * nd)
+
+        gp = jax.grad(loss_pallas)(d)
+        gt = jax.grad(loss_topk)(d)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gt), atol=1e-5)

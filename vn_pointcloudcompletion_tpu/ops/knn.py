@@ -40,8 +40,19 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int):
 
     query: (B, N, D), ref: (B, M, D).  Returns ``(dists, idx)`` each (B, N, K),
     sorted ascending by distance (matching KNN_CUDA's sorted output).
+
+    On TPU the k-smallest extraction runs as a VMEM-resident Pallas kernel
+    (ops/knn_pallas.py) — ``lax.top_k``'s sort lowering round-trips the
+    (B, N, M) matrix through HBM and measured 15 ms for (8, 2048, 2048)
+    k=16 vs ~1.5 ms for the kernel.
     """
     d = pairwise_sqdist(query, ref)
+    if jax.default_backend() == "tpu":
+        from vn_pointcloudcompletion_tpu.ops import knn_pallas
+
+        if knn_pallas.eligible(d.shape[-1], k):
+            vals, idx = knn_pallas.topk_min_pallas(d, k)
+            return vals, idx
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx.astype(jnp.int32)
 
