@@ -111,3 +111,29 @@ class TestTopkMinPallas:
         gp = jax.grad(loss_pallas)(d)
         gt = jax.grad(loss_topk)(d)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gt), atol=1e-5)
+
+
+class TestFPSPallas:
+    """Single-program greedy FPS vs the jnp fori_loop formulation."""
+
+    @pytest.mark.parametrize("n,s", [(300, 64), (1000, 128), (130, 50)])
+    def test_matches_fori_loop(self, rng, n, s):
+        import jax.numpy as jnp
+
+        import importlib
+
+        fps_mod = importlib.import_module(
+            "vn_pointcloudcompletion_tpu.ops.fps")
+        fp = importlib.import_module(
+            "vn_pointcloudcompletion_tpu.ops.fps_pallas")
+
+        pts = jnp.asarray(rng.standard_normal((3, n, 3)).astype(np.float32))
+        got = fp.furthest_point_sample_pallas(pts, s, interpret=True)
+        # reference path: force the jnp branch regardless of backend
+        old = fp.eligible
+        try:
+            fp.eligible = lambda *a: False
+            want = fps_mod.furthest_point_sample(pts, s)
+        finally:
+            fp.eligible = old
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

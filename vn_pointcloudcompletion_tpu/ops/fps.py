@@ -18,7 +18,17 @@ import jax.numpy as jnp
 
 
 def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """Greedy furthest-point sampling. xyz: (B, N, 3) -> idx (B, S) int32."""
+    """Greedy furthest-point sampling. xyz: (B, N, 3) -> idx (B, S) int32.
+
+    On TPU the whole greedy loop runs inside one Pallas program with the
+    batch in the sublane axis (ops/fps_pallas.py): the XLA fori_loop's
+    per-iteration step overhead dominates at these sizes.
+    """
+    if jax.default_backend() == "tpu":
+        from vn_pointcloudcompletion_tpu.ops import fps_pallas
+
+        if fps_pallas.eligible(xyz.shape[0], xyz.shape[1], num_samples):
+            return fps_pallas.furthest_point_sample_pallas(xyz, num_samples)
 
     def single(pts):
         n = pts.shape[0]
