@@ -97,26 +97,30 @@ def _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16: bool,
     0/1 matmul, so the (B, 3, C, N*S) expansion never exists in HBM.
     """
     e = _expand_mat(group, pb_ref.shape[3], tile_j) if group else None
+    with_d = wd_ref is not None
     p, d = [], []
     for j in range(3):
         xj = x_ref[0, j]
         pj = _dot(w_ref, xj, bf16)
-        dj = _dot(wd_ref, xj, bf16)
+        dj = _dot(wd_ref, xj, bf16) if with_d else None
         if pb_ref is not None:
             pb = pb_ref[0, j].astype(jnp.float32)
-            db = db_ref[0, j].astype(jnp.float32)
             if group:
                 pb = jax.lax.dot_general(
                     pb, e, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                db = jax.lax.dot_general(
-                    db, e, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
             pj = pj + pb  # (C_out, 1) or (C_out, TN)
-            dj = dj + db
+            if with_d:
+                db = db_ref[0, j].astype(jnp.float32)
+                if group:
+                    db = jax.lax.dot_general(
+                        db, e, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                dj = dj + db
         if bf16:
             pj = pj.astype(jnp.bfloat16).astype(jnp.float32)
-            dj = dj.astype(jnp.bfloat16).astype(jnp.float32)
+            if with_d:
+                dj = dj.astype(jnp.bfloat16).astype(jnp.float32)
         p.append(pj)
         d.append(dj)
     return p, d
@@ -148,9 +152,7 @@ def _stats_fwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool,
         (s1_ref, s2_ref) = rest
         pb_ref = None
     j = pl.program_id(1)
-    p, _d = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16, group, j)
-    # (the direction planes from the dummy second matmul are unused; XLA/Mosaic
-    # dead-code-eliminates them — see _compute_pd call with w twice)
+    p, _d = _compute_pd(x_ref, w_ref, None, pb_ref, None, bf16, group, j)
     p0, p1, p2 = p
     norm_e = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2) + EPS  # (C, TN)
     col = jax.lax.broadcasted_iota(jnp.int32, norm_e.shape, 1) + j * TN
@@ -175,7 +177,7 @@ def _stats_bwd_kernel(nv_ref, x_ref, w_ref, *rest, bf16: bool, has_bias: bool,
         c1_ref, c2_ref, dx_ref, dw_ref = rest
         pb_ref = dpb_ref = None
     j = pl.program_id(1)
-    p, _ = _compute_pd(x_ref, w_ref, w_ref, pb_ref, pb_ref, bf16, group, j)
+    p, _ = _compute_pd(x_ref, w_ref, None, pb_ref, None, bf16, group, j)
     p0, p1, p2 = p
     pnorm = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
     norm_e = pnorm + EPS
