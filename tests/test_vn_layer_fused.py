@@ -205,3 +205,17 @@ class TestEligibility:
         assert not layer_eligible(x_ok, 256, share_nonlinearity=True)
         assert not layer_eligible(jnp.zeros((2, 3, 1024, 2048)), 1024)  # FLOP-dense
         assert not layer_eligible(jnp.zeros((2, 3, 256, 2048)), 256)  # small N
+
+
+class TestBf16Mode:
+    def test_bf16_flag_tracks_f32_path(self, data):
+        # wiring sanity: the bf16 kernel path (bf16 matmul rounding through
+        # bf16 pre-activations) must agree with the f32 path to bf16 epsilon
+        x, w, wd, pb, db, a, b = data
+        f32 = vn_layer_fused(x, w, wd, pb, db, a, b, 0.2, False, INTERP)
+        b16 = vn_layer_fused(x, w, wd, pb, db, a, b, 0.2, True, INTERP)
+        np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                                   atol=0.15, rtol=0.08)
+        s1a, _ = vn_layer_stats(x, w, pb, False, INTERP)
+        s1b, _ = vn_layer_stats(x, w, pb, True, INTERP)
+        np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1a), rtol=0.02)
