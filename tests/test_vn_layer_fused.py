@@ -219,3 +219,55 @@ class TestBf16Mode:
         s1a, _ = vn_layer_stats(x, w, pb, False, INTERP)
         s1b, _ = vn_layer_stats(x, w, pb, True, INTERP)
         np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1a), rtol=0.02)
+
+
+class TestProjectedLayer:
+    """Fused layer + in-kernel 1-channel output contraction."""
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_forward_matches_dense(self, data, with_bias):
+        from vn_pointcloudcompletion_tpu.ops.vn_layer_fused import (
+            vn_layer_fused_project,
+        )
+
+        x, w, wd, pb, db, a, b = data
+        if not with_bias:
+            pb = db = None
+        rng = np.random.default_rng(29)
+        wo = jnp.asarray(rng.standard_normal(COUT) * 0.2, jnp.float32)
+        got = vn_layer_fused_project(x, w, wd, pb, db, a, b, wo,
+                                     0.2, False, INTERP)
+        want = jnp.einsum("c,bjcn->bjn", wo,
+                          _dense(x, w, wd, pb, db, a, b))[:, :, None]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_grads_match_autodiff(self, data, with_bias):
+        from vn_pointcloudcompletion_tpu.ops.vn_layer_fused import (
+            vn_layer_fused_project,
+        )
+
+        x, w, wd, pb, db, a, b = data
+        if not with_bias:
+            pb = db = None
+        rng = np.random.default_rng(31)
+        wo = jnp.asarray(rng.standard_normal(COUT) * 0.2, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, 3, 1, N)), jnp.float32)
+
+        def loss_fused(x, w, wd, pb, db, a, b, wo):
+            return jnp.sum(vn_layer_fused_project(
+                x, w, wd, pb, db, a, b, wo, 0.2, False, INTERP) * g)
+
+        def loss_dense(x, w, wd, pb, db, a, b, wo):
+            out = jnp.einsum("c,bjcn->bjn", wo,
+                             _dense(x, w, wd, pb, db, a, b))[:, :, None]
+            return jnp.sum(out * g)
+
+        argnums = ((0, 1, 2, 5, 6, 7) if not with_bias
+                   else (0, 1, 2, 3, 4, 5, 6, 7))
+        gf = jax.grad(loss_fused, argnums=argnums)(x, w, wd, pb, db, a, b, wo)
+        gd = jax.grad(loss_dense, argnums=argnums)(x, w, wd, pb, db, a, b, wo)
+        for got, want in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=3e-4)

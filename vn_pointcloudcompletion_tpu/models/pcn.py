@@ -590,10 +590,14 @@ class VNFoldingNet(nn.Module):
         f = split_cls(256, name="final_conv_0")(
             glob_planes, seed, point_feat, train=train
         )
+        # final_conv_1's (B, 3, 256, Nd) output exists only to be contracted
+        # by final_conv_2's 1-channel VNLinear: pass that kernel in so the
+        # fused-layer path emits the projection directly (same param tree —
+        # final_conv_2/kernel is declared by the holder below)
+        w2 = _ParamHolder((1, 256), name="final_conv_2")()
         f = VNLinearLeakyReLU(256, layout="plane", name="final_conv_1")(
-            f, train=train
-        )
-        f = VNLinear(1, layout="plane", name="final_conv_2")(f)  # (B, 3, 1, Nd)
+            f, train=train, project_out=w2
+        )  # (B, 3, 1, Nd)
         fine = f + point_feat
         return fine[:, :, 0].transpose(0, 2, 1)  # (B, Nd, 3)
 
@@ -644,18 +648,20 @@ class AttentionVNFoldingNet(nn.Module):
         h = pair_cls(256, name="vn_folding1_0")(
             feat, seed, s, train=train
         )
-        h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding1_1")(
-            h, train=train
-        )
-        fd1 = VNLinear(1, layout="plane", name="vn_folding1_2")(h)  # (B,3,1,NS)
+        # trailing 1-channel contractions fold into the fused layer kernel
+        # (same param tree; see VNFoldingNet's final_conv_2 note)
+        wf1 = _ParamHolder((1, 128), name="vn_folding1_2")()
+        fd1 = VNLinearLeakyReLU(128, layout="plane", name="vn_folding1_1")(
+            h, train=train, project_out=wf1
+        )  # (B, 3, 1, NS)
 
         h = pair_cls(256, name="vn_folding2_0")(
             feat, fd1, s, train=train
         )
-        h = VNLinearLeakyReLU(128, layout="plane", name="vn_folding2_1")(
-            h, train=train
-        )
-        fd2 = VNLinear(1, layout="plane", name="vn_folding2_2")(h)  # (B,3,1,NS)
+        wf2 = _ParamHolder((1, 128), name="vn_folding2_2")()
+        fd2 = VNLinearLeakyReLU(128, layout="plane", name="vn_folding2_1")(
+            h, train=train, project_out=wf2
+        )  # (B, 3, 1, NS)
 
         relative_xyz = fd2[:, :, 0].reshape(b, 3, n, s).transpose(0, 2, 1, 3)
         rebuild = relative_xyz + coarse[..., None]  # (B, N, 3, S)

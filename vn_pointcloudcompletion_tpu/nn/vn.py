@@ -258,7 +258,11 @@ class VNLinearLeakyReLU(nn.Module):
     layer_fused: "bool | None" = None  # whole-layer Pallas op (matmul incl.)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, project_out=None):
+        """``project_out``: optional (1, C_out) kernel of a trailing
+        1-channel VNLinear (owned by the CALLER's scope) — on the fused-layer
+        path the contraction runs in-kernel so the (B, 3, C_out, N)
+        activation never exists; otherwise it is applied after."""
         from vn_pointcloudcompletion_tpu.ops import vn_fused, vn_layer_fused
 
         if self.layout == "plane":
@@ -298,6 +302,12 @@ class VNLinearLeakyReLU(nn.Module):
                     a, b = bn(None, True, moments=(mean, var))
                 else:
                     a, b = bn(None, False)
+                if project_out is not None:
+                    return vn_layer_fused.vn_layer_fused_project(
+                        x, w, wd, None, None, a, b,
+                        project_out.reshape(-1),
+                        self.negative_slope, bf16, interpret,
+                    )
                 return vn_layer_fused.vn_layer_fused(
                     x, w, wd, None, None, a, b,
                     self.negative_slope, bf16, interpret,
@@ -322,12 +332,16 @@ class VNLinearLeakyReLU(nn.Module):
                 )
             if use_fused and vn_fused.eligible(p):
                 interpret = jax.default_backend() != "tpu"
-                return vn_fused.fused_bn_leaky(
+                out = vn_fused.fused_bn_leaky(
                     p, d, a, b, self.negative_slope, interpret
                 )
-            return vn_fused.reference_bn_leaky_planes(
-                p, d, a, b, self.negative_slope
-            )
+            else:
+                out = vn_fused.reference_bn_leaky_planes(
+                    p, d, a, b, self.negative_slope
+                )
+            if project_out is not None:
+                out = _channel_linear_plane(project_out, out)
+            return out
 
         c_in = x.shape[1]
         w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))
@@ -338,7 +352,10 @@ class VNLinearLeakyReLU(nn.Module):
         pd = _channel_linear(jnp.concatenate([w, wd], axis=0), x)
         p, d = pd[:, : self.out_channels], pd[:, self.out_channels :]
         p = VNBatchNorm(name="batchnorm")(p, train=train)
-        return _leaky_reflect(p, d, self.negative_slope)
+        out = _leaky_reflect(p, d, self.negative_slope)
+        if project_out is not None:
+            out = _channel_linear(project_out, out)
+        return out
 
 
 class VNLinearAndLeakyReLU(nn.Module):

@@ -623,3 +623,290 @@ vn_layer_fused.defvjp(
         _layer_fwd(x, w, wd, pbias, dbias, a, b, ns, bf16, interpret, group)),
     _layer_bwd,
 )
+
+
+# ----------------------------------------------------------------------------
+# projected layer op: fused layer followed by a 1-channel output contraction
+# ----------------------------------------------------------------------------
+#
+# The fold decoders end in VNLinear(1) over the preceding fused layer's
+# (B, 3, C, N) output (models/pcn.py final_conv_2 / vn_folding*_2) — that
+# tensor exists only to be contracted to one channel.  Emitting the
+# projection from the kernel removes the ~400 MB round-trip and the
+# projection's own backward passes; the VJP expands the (B, 3, 1, N)
+# cotangent through the rank-1 projection in-register.
+
+
+def _proj_fwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
+                     bf16: bool, has_bias: bool, group: int):
+    if has_bias:
+        pb_ref, db_ref, a_ref, b_ref, wo_ref, out_ref = rest
+    else:
+        a_ref, b_ref, wo_ref, out_ref = rest
+        pb_ref = db_ref = None
+    ns = ns_ref[0]
+    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16,
+                       group, pl.program_id(1))
+    a = a_ref[0, :].reshape(-1, 1)
+    b = b_ref[0, :].reshape(-1, 1)
+    o0, o1, o2 = _epilogue(p, d, a, b, ns)
+    wo = wo_ref[0, :].reshape(-1, 1)  # (C, 1)
+    out_ref[0, 0, 0] = jnp.sum(o0 * wo, axis=0).astype(out_ref.dtype)
+    out_ref[0, 1, 0] = jnp.sum(o1 * wo, axis=0).astype(out_ref.dtype)
+    out_ref[0, 2, 0] = jnp.sum(o2 * wo, axis=0).astype(out_ref.dtype)
+
+
+def _proj_bwd_kernel(ns_ref, x_ref, w_ref, wd_ref, *rest,
+                     bf16: bool, has_bias: bool, group: int):
+    if has_bias:
+        (pb_ref, db_ref, a_ref, b_ref, wo_ref, g_ref,
+         dx_ref, dw_ref, dwd_ref, da_ref, db2_ref, dwo_ref,
+         dpb_ref, ddb_ref) = rest
+    else:
+        (a_ref, b_ref, wo_ref, g_ref,
+         dx_ref, dw_ref, dwd_ref, da_ref, db2_ref, dwo_ref) = rest
+        pb_ref = db_ref = dpb_ref = ddb_ref = None
+    ns = ns_ref[0]
+    j = pl.program_id(1)
+    p, d = _compute_pd(x_ref, w_ref, wd_ref, pb_ref, db_ref, bf16, group, j)
+    p0, p1, p2 = p
+    d0, d1, d2 = d
+    a = a_ref[0, :].reshape(-1, 1)
+    b = b_ref[0, :].reshape(-1, 1)
+    wo = wo_ref[0, :].reshape(-1, 1)
+    # cotangent through the rank-1 projection: go_c = wo_c * g (per plane)
+    gp0 = g_ref[0, 0, 0].reshape(1, -1)
+    gp1 = g_ref[0, 1, 0].reshape(1, -1)
+    gp2 = g_ref[0, 2, 0].reshape(1, -1)
+    g0 = wo * gp0.astype(jnp.float32)
+    g1 = wo * gp1.astype(jnp.float32)
+    g2 = wo * gp2.astype(jnp.float32)
+
+    pnorm = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+    norm_e = pnorm + EPS
+    s = a + b / norm_e
+    q0, q1, q2 = p0 * s, p1 * s, p2 * s
+    dot = q0 * d0 + q1 * d1 + q2 * d2
+    z = d0 * d0 + d1 * d1 + d2 * d2 + EPS
+    r = dot / z
+    c1 = jnp.where(dot >= 0, 0.0, 1.0 - ns)
+    # dwo needs the epilogue output o = q - coef d
+    coef = c1 * r
+    o0, o1, o2 = q0 - coef * d0, q1 - coef * d1, q2 - coef * d2
+    dg = d0 * g0 + d1 * g1 + d2 * g2
+    k1 = c1 * dg / z
+    dq0, dq1, dq2 = g0 - k1 * d0, g1 - k1 * d1, g2 - k1 * d2
+    k2 = c1 * r
+    k3 = 2.0 * k1 * r
+    dd0 = -(k2 * g0 + k1 * q0 - k3 * d0)
+    dd1 = -(k2 * g1 + k1 * q1 - k3 * d1)
+    dd2 = -(k2 * g2 + k1 * q2 - k3 * d2)
+    dqp = dq0 * p0 + dq1 * p1 + dq2 * p2
+    inv_pnorm = jnp.where(pnorm > 0, 1.0 / jnp.maximum(pnorm, 1e-30), 0.0)
+    coef_p = b * dqp * inv_pnorm / (norm_e * norm_e)
+    dp0 = s * dq0 - coef_p * p0
+    dp1 = s * dq1 - coef_p * p1
+    dp2 = s * dq2 - coef_p * p2
+
+    @pl.when(j == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dwd_ref[...] = jnp.zeros_like(dwd_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        if dpb_ref is not None:
+            dpb_ref[...] = jnp.zeros_like(dpb_ref)
+            ddb_ref[...] = jnp.zeros_like(ddb_ref)
+
+    da_ref[0, 0, :] += jnp.sum(dqp, axis=1)
+    db2_ref[0, 0, :] += jnp.sum(dqp / norm_e, axis=1)
+    dwo_ref[0, 0, :] += jnp.sum(
+        o0 * gp0 + o1 * gp1 + o2 * gp2, axis=1)
+
+    e_t = (_expand_mat(group, dpb_ref.shape[3], j).T if group else None)
+    dps = (dp0, dp1, dp2)
+    dds = (dd0, dd1, dd2)
+    for jj in range(3):
+        dpj, ddj = dps[jj], dds[jj]
+        xj = x_ref[0, jj]
+        if bf16:
+            w16 = w_ref[...].astype(jnp.bfloat16)
+            wd16 = wd_ref[...].astype(jnp.bfloat16)
+            dp16, dd16 = dpj.astype(jnp.bfloat16), ddj.astype(jnp.bfloat16)
+            x16 = xj.astype(jnp.bfloat16)
+            dx = jax.lax.dot_general(
+                w16.T, dp16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dx += jax.lax.dot_general(
+                wd16.T, dd16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = jax.lax.dot_general(
+                dp16, x16.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwd = jax.lax.dot_general(
+                dd16, x16.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            wf = w_ref[...].astype(jnp.float32)
+            wdf = wd_ref[...].astype(jnp.float32)
+            xf = xj.astype(jnp.float32)
+            dx = jax.lax.dot_general(
+                wf.T, dpj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dx += jax.lax.dot_general(
+                wdf.T, ddj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = jax.lax.dot_general(
+                dpj, xf.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwd = jax.lax.dot_general(
+                ddj, xf.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx_ref[0, jj] = dx.astype(dx_ref.dtype)
+        dw_ref[0] += dw
+        dwd_ref[0] += dwd
+        if dpb_ref is not None:
+            if group:
+                dpb_ref[0, jj] += jax.lax.dot_general(
+                    dpj, e_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ddb_ref[0, jj] += jax.lax.dot_general(
+                    ddj, e_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dpb_ref[0, jj, :, 0] += jnp.sum(dpj, axis=1)
+                ddb_ref[0, jj, :, 0] += jnp.sum(ddj, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def vn_layer_fused_project(x, w, wd, pbias, dbias, a, b, w_out,
+                           negative_slope: float, bf16: bool = False,
+                           interpret: bool = False, group: int = 0):
+    """``einsum('c,bjcn->bj1n', w_out, bn_leaky(Wx, Wd x))`` in one pass.
+
+    Same layer semantics as :func:`vn_layer_fused` followed by a 1-channel
+    ``VNLinear`` contraction (``w_out``: (C_out,)); the intermediate
+    (B, 3, C, N) activation never exists.  Returns (B, 3, 1, N).
+    """
+    out, _ = _proj_fwd(x, w, wd, pbias, dbias, a, b, w_out,
+                       negative_slope, bf16, interpret, group)
+    return out
+
+
+def _proj_fwd(x, w, wd, pbias, dbias, a, b, w_out, ns, bf16, interpret, group):
+    bsz, _, c_in, n = x.shape
+    c_out = w.shape[0]
+    has_bias = pbias is not None
+    n_pad = -(-n // TN) * TN
+    x_p = _pad_n(x, n_pad)
+    ns_arr = jnp.full((1,), ns, jnp.float32)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, bias_spec, ab_spec, _ = _layer_specs(c_in, c_out, group,
+                                                         g_pad)
+    out_spec = pl.BlockSpec((1, 3, 1, TN), lambda i, j: (i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec, w_spec, w_spec]
+    args = [ns_arr, x_p, w, wd]
+    if has_bias:
+        in_specs += [bias_spec, bias_spec]
+        if group:
+            args += [_pad_n(pbias, g_pad), _pad_n(dbias, g_pad)]
+        else:
+            args += [pbias, dbias]
+    in_specs += [ab_spec, ab_spec, ab_spec]
+    args += [a.reshape(1, c_out).astype(jnp.float32),
+             b.reshape(1, c_out).astype(jnp.float32),
+             w_out.reshape(1, c_out).astype(jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_proj_fwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
+        grid=(bsz, n_pad // TN),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, 3, 1, n_pad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.PARALLEL)),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :, :n], (x, w, wd, pbias, dbias, a, b, w_out)
+
+
+def _proj_bwd(ns, bf16, interpret, group, res, g):
+    x, w, wd, pbias, dbias, a, b, w_out = res
+    bsz, _, c_in, n = x.shape
+    c_out = w.shape[0]
+    has_bias = pbias is not None
+    n_pad = -(-n // TN) * TN
+    x_p = _pad_n(x, n_pad)
+    g_p = _pad_n(g, n_pad)
+    ns_arr = jnp.full((1,), ns, jnp.float32)
+    g_pad = n_pad // group if group else 0
+    x_spec, w_spec, bias_spec, ab_spec, _ = _layer_specs(c_in, c_out, group,
+                                                         g_pad)
+    gout_spec = pl.BlockSpec((1, 3, 1, TN), lambda i, j: (i, 0, 0, j),
+                             memory_space=pltpu.VMEM)
+    dw_spec = pl.BlockSpec((1, c_out, c_in), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dab_spec = pl.BlockSpec((1, 1, c_out), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec, w_spec, w_spec]
+    args = [ns_arr, x_p, w, wd]
+    if has_bias:
+        in_specs += [bias_spec, bias_spec]
+        if group:
+            args += [_pad_n(pbias, g_pad), _pad_n(dbias, g_pad)]
+        else:
+            args += [pbias, dbias]
+    in_specs += [ab_spec, ab_spec, ab_spec, gout_spec]
+    args += [a.reshape(1, c_out).astype(jnp.float32),
+             b.reshape(1, c_out).astype(jnp.float32),
+             w_out.reshape(1, c_out).astype(jnp.float32), g_p]
+    out_specs = [x_spec, dw_spec, dw_spec, dab_spec, dab_spec, dab_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, 3, c_in, n_pad), x.dtype),
+        jax.ShapeDtypeStruct((bsz, c_out, c_in), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, c_out, c_in), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, 1, c_out), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, 1, c_out), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, 1, c_out), jnp.float32),
+    ]
+    if has_bias:
+        out_specs += [bias_spec, bias_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((bsz, 3, c_out, g_pad or 1), jnp.float32)] * 2
+    outs = pl.pallas_call(
+        functools.partial(_proj_bwd_kernel, bf16=bf16, has_bias=has_bias,
+                          group=group),
+        grid=(bsz, n_pad // TN),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY)),
+        interpret=interpret,
+    )(*args)
+    dx = outs[0][:, :, :, :n]
+    dw = jnp.sum(outs[1], axis=0).astype(w.dtype)
+    dwd = jnp.sum(outs[2], axis=0).astype(wd.dtype)
+    da = jnp.sum(outs[3], axis=(0, 1)).astype(a.dtype)
+    db = jnp.sum(outs[4], axis=(0, 1)).astype(b.dtype)
+    dwo = jnp.sum(outs[5], axis=(0, 1)).astype(w_out.dtype).reshape(
+        w_out.shape)
+    if has_bias:
+        dpb = outs[6].astype(pbias.dtype)
+        ddb = outs[7].astype(dbias.dtype)
+        if group:
+            dpb = dpb[:, :, :, : pbias.shape[3]]
+            ddb = ddb[:, :, :, : dbias.shape[3]]
+    else:
+        dpb = ddb = None
+    return dx, dw, dwd, dpb, ddb, da, db, dwo
+
+
+vn_layer_fused_project.defvjp(
+    lambda x, w, wd, pbias, dbias, a, b, w_out, ns, bf16, interpret, group: (
+        _proj_fwd(x, w, wd, pbias, dbias, a, b, w_out, ns, bf16, interpret,
+                  group)),
+    _proj_bwd,
+)
