@@ -129,6 +129,29 @@ def main() -> int:
         and np.allclose(np.asarray(s2), np.asarray(r2), rtol=2e-5),
     ))
 
+    # 4b) projected layer: fused layer + in-kernel 1-channel contraction
+    from vn_pointcloudcompletion_tpu.ops.vn_layer_fused import (
+        vn_layer_fused_project,
+    )
+
+    wo = jnp.asarray(rng.standard_normal(128) * 0.2, jnp.float32)
+
+    def proj_both(xl, w, wd, al, bl, wo):
+        got = vn_layer_fused_project(xl, w, wd, None, None, al, bl, wo,
+                                     0.2, False, interp)
+        pp = jnp.einsum("oc,bjcn->bjon", w, xl)
+        dd = jnp.einsum("oc,bjcn->bjon", wd, xl)
+        want = jnp.einsum(
+            "c,bjcn->bjn", wo,
+            reference_bn_leaky_planes(pp, dd, al, bl, 0.2))[:, :, None]
+        return got, want
+
+    got, want = jax.jit(proj_both)(xl, w, wd, al, bl, wo)
+    results.append(_check(
+        "vn_layer_fused_project",
+        np.allclose(np.asarray(got), np.asarray(want), atol=5e-5),
+    ))
+
     # 5) k-smallest kernel vs lax.top_k
     from vn_pointcloudcompletion_tpu.ops.knn_pallas import topk_min_pallas
 
