@@ -48,8 +48,9 @@ def main(argv=None):
     parser.add_argument("--novel", action="store_true",
                         help="test: evaluate the 8 novel (unseen) categories"
                              " (reference test.py:19, branch commented out)")
-    parser.add_argument("--mesh", type=int, default=0,
-                        help="data-parallel over N devices (0 = all available)")
+    parser.add_argument("--mesh", type=int, default=None,
+                        help="data-parallel over N devices (0 = all "
+                             "available; default: single device)")
     parser.add_argument("command", choices=["train", "overfit", "test"])
     args = parser.parse_args(argv)
 
@@ -103,7 +104,12 @@ def main(argv=None):
         from vn_pointcloudcompletion_tpu.training.trainer import train
 
         mesh = None
-        n_dev = args.mesh or len(jax.devices())
+        # mesh mode only on request: multi-device hosts stay single-chip
+        # unless --mesh is passed (0 = all devices, N = first N)
+        if args.mesh is None:
+            n_dev = 1
+        else:
+            n_dev = args.mesh or len(jax.devices())
         if n_dev > 1:
             from vn_pointcloudcompletion_tpu.parallel import make_mesh
 

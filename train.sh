@@ -1,4 +1,5 @@
 #!/usr/bin/env sh
-# Resume training the flagship experiment (reference train.sh equivalent).
-# Usage: ./train.sh [<experiment_dir_name>]
+# Train the flagship pipeline (reference train.sh equivalent).
+# Usage: ./train.sh               start a NEW run named "flagship"
+#        ./train.sh <exp_dir>     RESUME the named experiment directory
 python main.py -n "${1:-flagship}" ${1:+--resume} train

@@ -276,12 +276,18 @@ class VNLinearLeakyReLU(nn.Module):
             # that never materialise the (B, 3, C, N) pre-activations
             use_layer = self.layer_fused
             if use_layer is None:
-                use_layer = (
-                    jax.default_backend() == "tpu"
-                    and vn_layer_fused.layer_eligible(
-                        x, self.out_channels, self.share_nonlinearity
+                # fused=False alone must pin the reference path: the
+                # whole-layer kernel subsumes the epilogue fusion, so the
+                # debugging escape hatch disables it too
+                if self.fused is False:
+                    use_layer = False
+                else:
+                    use_layer = (
+                        jax.default_backend() == "tpu"
+                        and vn_layer_fused.layer_eligible(
+                            x, self.out_channels, self.share_nonlinearity
+                        )
                     )
-                )
             if use_layer and vn_layer_fused.layer_eligible(
                 x, self.out_channels, self.share_nonlinearity
             ):

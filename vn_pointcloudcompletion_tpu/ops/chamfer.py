@@ -132,6 +132,10 @@ def _chamfer_fwd(x, y):
 # Targets at or under this row count take the one-hot matmul scatter (the
 # mask is B x rows x updates in HBM); larger targets use XLA scatter-add.
 _ONEHOT_ROWS = 2048
+# ... and on the full one-hot mask size: the (B, n_rows, M) f32 mask is
+# B*n_rows*M*4 bytes of HBM, so gate its total elements too (~1.2 GB cap;
+# flagship coarse bwd 16x1024x16384 = 268M elems stays on the MXU path).
+_ONEHOT_MAX_ELEMS = 300_000_000
 
 
 def _cross_term(idx, g, pts, n_rows):
@@ -147,7 +151,8 @@ def _cross_term(idx, g, pts, n_rows):
     Returns ``(t, s)``: (B, n_rows, D) and (B, n_rows, 1).
     """
     u = jnp.concatenate([g[..., None] * pts, g[..., None]], axis=-1)
-    if n_rows <= _ONEHOT_ROWS:
+    mask_elems = idx.shape[0] * n_rows * idx.shape[1]
+    if n_rows <= _ONEHOT_ROWS and mask_elems <= _ONEHOT_MAX_ELEMS:
         rows = jnp.arange(n_rows, dtype=idx.dtype)
         onehot = (idx[:, None, :] == rows[None, :, None]).astype(jnp.float32)
         s = jnp.einsum(

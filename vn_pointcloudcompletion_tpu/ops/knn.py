@@ -52,7 +52,8 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int):
 
         if knn_pallas.eligible(d.shape[-1], k):
             vals, idx = knn_pallas.topk_min_pallas(d, k)
-            return vals, idx
+            # kernel accumulates in f32; match the lax.top_k branch's dtype
+            return vals.astype(d.dtype), idx
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx.astype(jnp.int32)
 

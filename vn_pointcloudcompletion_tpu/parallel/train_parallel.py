@@ -40,11 +40,14 @@ def make_parallel_steps(config: Config, mesh):
     train_fn = make_train_step(config, jit=False)
     eval_fn = make_eval_step(config, jit=False)
 
+    # donate the STATE (returned updated with identical layout, so XLA can
+    # alias it); the batch shards have no matching output layout and donating
+    # them only produced "donated buffers were not usable" warnings + a copy
     train_step = jax.jit(
         train_fn,
         in_shardings=(rep, batch_sh, batch_sh, rep),
         out_shardings=(rep, rep),
-        donate_argnums=(1, 2),
+        donate_argnums=(0,),
     )
     eval_step = jax.jit(
         eval_fn,

@@ -42,6 +42,11 @@ def step_lr_schedule(base_lr: float, steps_per_epoch: int,
 def make_optimizer(config: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     lr = step_lr_schedule(config.lr, steps_per_epoch)
     adam = optax.adam(lr, b1=0.9, b2=0.999)
+    clip = getattr(config, "clip_gradient", 0.0) or 0.0
+    if clip > 0:
+        # live clipping behind the reference's field (its call is commented
+        # out at train.py:172, hence default 0 = off — see Config)
+        adam = optax.chain(optax.clip_by_global_norm(clip), adam)
 
     freeze_enc = config.freeze_encoder or config.enc_pretrained != "none"
     freeze_dec = config.freeze_decoder

@@ -41,7 +41,11 @@ class Config:
     batch_size: int = 12
     lr: float = 1e-4
     max_epochs: int = 400
-    clip_gradient: float = 0.5
+    # Global-norm gradient clipping, applied when > 0.  The reference ships
+    # the field but comments the clipping call out (train.py:172), so its
+    # effective behaviour — and our default — is 0 (off).  Unlike the
+    # reference, a non-zero value here really clips (no silent no-op knobs).
+    clip_gradient: float = 0.0
 
     # data
     category: str = "all"
