@@ -45,6 +45,7 @@ def synthetic_project(tmp_path, monkeypatch):
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_train_then_test(self, synthetic_project):
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])
         exp_root = synthetic_project / "experiments"
@@ -62,12 +63,14 @@ class TestCLI:
         # evaluate with the EMD column
         cli.main(["-n", runs[0], "--resume", "--emd", "test"])
 
+    @pytest.mark.slow
     def test_new_run_number_increments(self, synthetic_project):
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])
         runs = sorted(os.listdir(synthetic_project / "experiments"))
         assert runs[0].endswith("_000") and runs[1].endswith("_001")
 
+    @pytest.mark.slow
     def test_branch_from_epoch(self, synthetic_project):
         # enable numbered checkpoints, train epochs 0..1
         cfg = json.load(open(synthetic_project / "config.json"))
@@ -101,6 +104,7 @@ class TestCLI:
         assert "Epoch [002/003]" in log_text
         assert "Epoch [001/003]" not in log_text and "Epoch [000" not in log_text
 
+    @pytest.mark.slow
     def test_branch_from_missing_checkpoint_fails(self, synthetic_project):
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])  # no numbered ckpts
         src_run = sorted(os.listdir(synthetic_project / "experiments"))[0]

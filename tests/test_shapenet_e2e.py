@@ -45,6 +45,7 @@ def build_pcn_dataset(root, n_models=3, cats=("02691156",)):
 
 
 class TestShapeNetEndToEnd:
+    @pytest.mark.slow
     def test_train_and_eval_on_disk_dataset(self, tmp_path, monkeypatch):
         from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
         from vn_pointcloudcompletion_tpu.training.trainer import train
