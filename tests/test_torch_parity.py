@@ -485,6 +485,114 @@ class TestModelParity:
             np.median(np.abs(np.asarray(coarse) - ref["coarse"])), 0, atol=2e-3
         )
 
+    def test_flagship_param_gradients_match(self, transfused):
+        """Backward parity: d(cd_L1(coarse)+cd_L1(fine))/d(params) vs torch.
+
+        The training-dynamics bar (VERDICT r2 #1a): same transfused weights,
+        same batch, the reference loss (metrics/loss.py:20-31 over the
+        pure-torch chamfer oracle chamfer_python.py:18-39), BN in train mode
+        — every parameter gradient must agree.  Run in float64 on both sides
+        so the comparison pins backward *semantics* (custom chamfer VJP,
+        straight-through argmax pools, BN-on-norms batch-stat autodiff)
+        rather than float32 summation noise; the pool top-2 gaps (~1e-10
+        relative) then resolve identically on both sides.
+
+        Torch grads are mapped into the flax layout by running the weight
+        transfusion functions on the grad tensors themselves — the mapping is
+        pure key renaming/copying, so it transports gradients exactly.
+        """
+        import copy
+
+        from vn_pointcloudcompletion_tpu.metrics.losses import cd_loss_l1
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+        from vn_pointcloudcompletion_tpu.training.torch_interop import (
+            pcnnet_variables_from_torch,
+        )
+
+        ref_chamfer = _load_ref_module(
+            "ref_chamfer_python",
+            "extensions/ChamferDistancePytorch/chamfer_python.py",
+        )
+        enc, dec, _, _, xyz, _ = transfused
+        rng = np.random.default_rng(23)
+        gt = rng.standard_normal((2, 2048, 3)).astype(np.float64) * 0.3
+
+        # --- torch side (float64, BN train mode) -------------------------
+        enc64 = copy.deepcopy(enc).double().train()
+        dec64 = copy.deepcopy(dec).double().train()
+        xt = torch.from_numpy(xyz.astype(np.float64))
+        gtt = torch.from_numpy(gt)
+
+        def torch_cd_l1(a, b):
+            d1, d2, _, _ = ref_chamfer.distChamfer(a, b)
+            return (torch.mean(torch.sqrt(d1)) + torch.mean(torch.sqrt(d2))) / 2.0
+
+        coarse_t, fg_t = enc64(xt)
+        fine_t = dec64(coarse_t, fg_t, None)
+        loss_t = torch_cd_l1(coarse_t, gtt) + torch_cd_l1(fine_t, gtt)
+        loss_t.backward()
+
+        grad_sd = {}
+        for prefix, mod in (("encoder", enc64), ("decoder", dec64)):
+            for k, p in mod.named_parameters():
+                g = p.grad
+                grad_sd[f"{prefix}.{k}"] = (
+                    torch.zeros_like(p) if g is None else g
+                )
+            for k, b in mod.named_buffers():  # mapping needs the stat keys
+                grad_sd[f"{prefix}.{k}"] = torch.zeros_like(b)
+        ref_grads = pcnnet_variables_from_torch(grad_sd, latent_dim=2048)[
+            "params"
+        ]
+
+        # --- jax side (x64) ---------------------------------------------
+        sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+        sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+        jax.config.update("jax_enable_x64", True)
+        try:
+            variables = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                pcnnet_variables_from_torch(sd, latent_dim=2048),
+            )
+            model = PCNNet(
+                enc_type="vn_pointnet", dec_type="vn_foldingnet",
+                num_coarse=1024, latent_dim=2048, only_coarse=False,
+            )
+            xj = jnp.asarray(xyz, dtype=jnp.float64)
+            gtj = jnp.asarray(gt)
+
+            def loss_fn(params):
+                (coarse, fine), _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    xj, train=True, mutable=["batch_stats"],
+                )
+                return cd_loss_l1(coarse, gtj) + cd_loss_l1(fine, gtj)
+
+            loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+        # measured agreement: coarse ~1e-14, fine/loss ~1e-8 — the residual
+        # is the float32-quantised folding-seed constants both sides carry
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=1e-6
+        )
+
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+        flat_got = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+        assert len(flat_ref) == len(flat_got) > 20
+        for path, want in flat_ref:
+            got = np.asarray(flat_got[path], dtype=np.float64)
+            want = np.asarray(want, dtype=np.float64)
+            name = jax.tree_util.keystr(path)
+            scale = max(np.abs(want).max(), 1e-12)
+            np.testing.assert_allclose(
+                got, want, rtol=1e-4, atol=1e-4 * scale,
+                err_msg=f"gradient mismatch at {name}",
+            )
+
     def test_cd_loss_l1_formula(self, transfused):
         # formula parity vs the reference's pure-torch chamfer oracle
         # (chamfer_python.py:18-39 + metrics/loss.py:20-31) on identical input

@@ -32,7 +32,19 @@ def cd_loss_l2(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
 
 
 def emd_loss(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
-    """Mean approx-EMD cost over the batch."""
+    """Mean approx-EMD cost over the batch.
+
+    Above coarse sizes the dense (B, N, M) soft match would dominate HBM
+    (1 GB/sample at 16384 points — the reference OOMs identically,
+    emd_kernel.cu:26-158); the streaming trainable path takes over there
+    with the same cost and the same match-constant gradients.
+    """
+    if pcs1.shape[1] * pcs2.shape[1] > 2048 * 2048:
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            earth_mover_distance_blocked,
+        )
+
+        return jnp.mean(earth_mover_distance_blocked(pcs1, pcs2))
     return jnp.mean(earth_mover_distance(pcs1, pcs2))
 
 
@@ -75,8 +87,9 @@ def calc_dcd(x, gt, alpha=1000, n_lambda=1, return_raw=False, non_reg=False):
     Per-point weights are inverse nearest-neighbour assignment counts,
     ``loss = mean(1 - weight * exp(-alpha * d))`` in both directions.
     """
-    x = x.astype(jnp.float32)
-    gt = gt.astype(jnp.float32)
+    ct = jnp.promote_types(jnp.result_type(x, gt), jnp.float32)
+    x = x.astype(ct)
+    gt = gt.astype(ct)
     n_x, n_gt = x.shape[1], gt.shape[1]
     if non_reg:
         frac_12 = max(1.0, n_x / n_gt)

@@ -66,7 +66,8 @@ class GroupNormCh(nn.Module):
         b, c = x.shape[:2]
         spatial = x.shape[2:]
         g = self.num_groups
-        xg = x.reshape((b, g, c // g) + spatial).astype(jnp.float32)
+        xg = x.reshape((b, g, c // g) + spatial).astype(
+        jnp.promote_types(x.dtype, jnp.float32))
         axes = tuple(range(2, xg.ndim))
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.var(xg, axis=axes, keepdims=True)

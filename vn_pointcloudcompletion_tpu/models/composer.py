@@ -37,13 +37,21 @@ class PCNNet(nn.Module):
     num_coarse: int = 1024
     latent_dim: int = 2048
     only_coarse: bool = False
+    # PoinTr-proper rebuild: run the vn_pointr encoder's 8-block decoder
+    # stack (models/pointr.py:347-399) and condition the fold on the refined
+    # per-query features.  Off by default — the reference hardcodes
+    # only_coarse=True there (model.py:23-24), leaving its decoder dead.
+    pointr_decoder: bool = False
 
     @nn.compact
     def __call__(self, xyz, rot=None, train: bool = False):
         import jax.numpy as jnp
 
         def f32(t):
-            return None if t is None else t.astype(jnp.float32)
+            # outputs at least f32 (bf16 compute promotes; f64 untouched)
+            if t is None:
+                return None
+            return t.astype(jnp.promote_types(t.dtype, jnp.float32))
 
         if self.enc_type == "dgcnn_fps":
             encoder = DGCNNfps(self.num_coarse, latent_dim=1024, name="encoder")
@@ -60,12 +68,17 @@ class PCNNet(nn.Module):
             encoder = VNPCTransformer(
                 embed_dim=384, enc_depth=6, dec_depth=8, num_query=224,
                 knn_layer=1, dgcnn="vn_dgcnn", trans="vn_trans",
-                only_coarse=True, name="encoder",
+                only_coarse=not self.pointr_decoder, name="encoder",
             )
         else:
             raise ValueError(f"encoder type {self.enc_type} not supported")
 
         coarse, feature_global = encoder(xyz, train=train)
+
+        query_feats = None
+        if self.pointr_decoder and self.enc_type == "vn_pointr":
+            # decoder-stack output: (global_feature, refined query features)
+            feature_global, query_feats = feature_global
 
         if self.only_coarse:
             if self.num_coarse == 448:
@@ -83,10 +96,20 @@ class PCNNet(nn.Module):
         else:
             raise ValueError(f"decoder type {self.dec_type} not supported")
 
+        dec_kwargs = {}
+        if query_feats is not None:
+            if self.dec_type != "attention_vn_foldingnet":
+                raise ValueError(
+                    "pointr_decoder=True requires "
+                    "dec_type='attention_vn_foldingnet' (the per-query fold)"
+                )
+            dec_kwargs["center_feats"] = query_feats
+
         if self.num_coarse == 448:
-            fine = decoder(coarse[0], feature_global, rot, train=train)
+            fine = decoder(coarse[0], feature_global, rot, train=train,
+                           **dec_kwargs)
             return f32(coarse[1]), f32(fine)
-        fine = decoder(coarse, feature_global, rot, train=train)
+        fine = decoder(coarse, feature_global, rot, train=train, **dec_kwargs)
         return f32(coarse), f32(fine)
 
 
@@ -98,4 +121,5 @@ def build_model(config: Config) -> PCNNet:
         num_coarse=config.num_coarse,
         latent_dim=config.latent_dim,
         only_coarse=config.only_coarse,
+        pointr_decoder=getattr(config, "pointr_decoder", False),
     )

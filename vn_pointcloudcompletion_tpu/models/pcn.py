@@ -83,7 +83,8 @@ class _VNSplitFoldLayer(nn.Module):
         )
         bn = _FoldedBN(self.out_channels, name="batchnorm")
         if train:
-            norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+            ct = jnp.promote_types(p.dtype, jnp.float32)
+            norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
             a, b = bn(norm, True)
         else:
             a, b = bn(None, False)
@@ -220,7 +221,8 @@ class _VNSplitPairFoldLayer(nn.Module):
         d = expand(_channel_linear_plane(df, feat)) + _channel_linear_plane(dv, var)
         bn = _FoldedBN(self.out_channels, name="batchnorm")
         if train:
-            norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+            ct = jnp.promote_types(p.dtype, jnp.float32)
+            norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
             a, bb = bn(norm, True)
         else:
             a, bb = bn(None, False)
@@ -617,7 +619,12 @@ class AttentionVNFoldingNet(nn.Module):
     latent_dim: int = 2048
 
     @nn.compact
-    def __call__(self, coarse, feature_global, rot=None, train: bool = False):
+    def __call__(self, coarse, feature_global, rot=None, train: bool = False,
+                 center_feats=None):
+        """``center_feats``: optional (B, N, 3C) refined per-centre features
+        from the vn_pointr decoder stack (composer ``pointr_decoder=True``) —
+        projected and added to the per-centre conditioning, the PoinTr-proper
+        use of the transformer decoder's output."""
         b, n, _ = coarse.shape
         grid_size = 8 if self.num_coarse == 448 else 4
         s = grid_size * grid_size
@@ -629,6 +636,9 @@ class AttentionVNFoldingNet(nn.Module):
         fg = VNLinear(384, name="downsize_global")(feature_global)  # (B, 384, 3, 1)
         fg = jnp.broadcast_to(fg, (b, 384, 3, n)).reshape(b, 1152, n).transpose(0, 2, 1)
         x = fg + repeat_centers  # (B, N, 1152) scalar layout
+        if center_feats is not None:
+            cf = VNLinear(384, name="query_proj")(to_vn(center_feats))
+            x = x + cf.reshape(b, 1152, n).transpose(0, 2, 1)
 
         vn_x = to_vn(x)  # (B, 384, 3, N)
         for i in range(2):

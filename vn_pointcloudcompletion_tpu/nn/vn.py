@@ -151,7 +151,8 @@ class VNBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # statistics always in f32 (bf16 norms drift BN running stats)
-        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2) + EPS  # (B, C, N...)
+        ct = jnp.promote_types(x.dtype, jnp.float32)
+        norm = jnp.linalg.norm(x.astype(ct), axis=2) + EPS  # (B, C, N...)
         norm_bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
@@ -168,7 +169,8 @@ class VNLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, C, 3, N); statistics in f32
-        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2) + EPS  # (B, C, N)
+        ct = jnp.promote_types(x.dtype, jnp.float32)
+        norm = jnp.linalg.norm(x.astype(ct), axis=2) + EPS  # (B, C, N)
         norm_t = norm.transpose(0, 2, 1)  # (B, N, C) — LN over C
         norm_l = nn.LayerNorm(epsilon=1e-5)(norm_t)  # torch LayerNorm eps
         norm_l = norm_l.transpose(0, 2, 1)  # (B, C, N)
@@ -327,7 +329,8 @@ class VNLinearLeakyReLU(nn.Module):
                 d = jnp.broadcast_to(d, p.shape)
             bn = _FoldedBN(self.out_channels, name="batchnorm")
             if train:
-                norm = jnp.linalg.norm(p.astype(jnp.float32), axis=1) + EPS
+                ct = jnp.promote_types(p.dtype, jnp.float32)
+                norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
                 a, b = bn(norm, True)
             else:
                 a, b = bn(None, False)

@@ -63,7 +63,7 @@ def _nn_one_sided(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndar
         # mis-rank near-tied nearest neighbours.
         cross = jax.lax.dot_general(
             x, y_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
         dist = x_sq[:, None] + y_sq[None, :] - 2.0 * cross
@@ -77,7 +77,7 @@ def _nn_one_sided(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndar
         return (best_d, best_i), None
 
     init = (
-        jnp.full((n,), jnp.inf, dtype=jnp.float32),
+        jnp.full((n,), jnp.inf, dtype=x.dtype),
         jnp.zeros((n,), dtype=jnp.int32),
     )
     (best_d, best_i), _ = jax.lax.scan(
@@ -109,8 +109,11 @@ def _use_pallas(x, y) -> bool:
 
 
 def _chamfer_fwd_impl(x, y):
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    # at least f32 (bf16 inputs promote); f64 passes through untouched so
+    # the op is usable in float64 parity harnesses
+    ct = jnp.promote_types(jnp.result_type(x, y), jnp.float32)
+    x = x.astype(ct)
+    y = y.astype(ct)
     if _use_pallas(x, y):
         from vn_pointcloudcompletion_tpu.ops.chamfer_pallas_bidir import (
             nn_bidirectional_pallas,
@@ -154,9 +157,10 @@ def _cross_term(idx, g, pts, n_rows):
     mask_elems = idx.shape[0] * n_rows * idx.shape[1]
     if n_rows <= _ONEHOT_ROWS and mask_elems <= _ONEHOT_MAX_ELEMS:
         rows = jnp.arange(n_rows, dtype=idx.dtype)
-        onehot = (idx[:, None, :] == rows[None, :, None]).astype(jnp.float32)
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        onehot = (idx[:, None, :] == rows[None, :, None]).astype(acc)
         s = jnp.einsum(
-            "bnm,bmk->bnk", onehot, u, preferred_element_type=jnp.float32
+            "bnm,bmk->bnk", onehot, u, preferred_element_type=acc
         )
     else:
         zeros = jnp.zeros((u.shape[0], n_rows, u.shape[-1]), u.dtype)
@@ -186,8 +190,9 @@ def _grad_side(g_self, other, g_other, i_self, i_other, self_pts):
 def _chamfer_bwd(res, grads):
     x, y, i1, i2 = res
     g1, g2, _, _ = grads
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    ct = jnp.promote_types(jnp.result_type(x, y), jnp.float32)
+    x = x.astype(ct)
+    y = y.astype(ct)
 
     # d1_n = |x_n - y_{i1_n}|^2  ->  dx_n += 2 g1_n (x_n - y_nn), dy_{i1_n} -= same
     gx = _grad_side(g1, y, g2, i1, i2, x)

@@ -56,8 +56,9 @@ def _tc_for(c: int) -> int:
 
 def reference_bn_leaky_planes(p, d, a, b, negative_slope):
     """Pure-jnp reference on (B, 3, C, N) planes (also the fallback path)."""
-    p32 = p.astype(jnp.float32)
-    d32 = d.astype(jnp.float32)
+    ct = jnp.promote_types(p.dtype, jnp.float32)  # f64 passes through
+    p32 = p.astype(ct)
+    d32 = d.astype(ct)
     norm_e = jnp.linalg.norm(p32, axis=1) + EPS  # (B, C, N)
     s = (a[None, :, None] + b[None, :, None] / norm_e)[:, None]
     q = p32 * s
