@@ -92,6 +92,16 @@ def load_pretrained_encoder(state, path: str, enc_type: str = "vn_pointnet"):
 
         sd = torch_interop.load_torch_state_dict(path)
         enc_p, enc_s = torch_interop.encoder_variables_from_torch(sd, enc_type)
+        # non-strict merge (reference load_state_dict(strict=False),
+        # model.py:33): converters may return partial trees — e.g.
+        # vn_pointr's diverged coarse head keeps its init
+        enc_p = torch_interop.merge_partial_tree(
+            state.params["encoder"], enc_p
+        )
+        if state.batch_stats and "encoder" in state.batch_stats:
+            enc_s = torch_interop.merge_partial_tree(
+                state.batch_stats["encoder"], enc_s
+            )
         blob = {"params": {"encoder": enc_p},
                 "batch_stats": {"encoder": enc_s}}
     else:
