@@ -44,18 +44,24 @@ def f_score(pred, gt, threshold: float = 0.01):
 def points_to_voxels(points: jnp.ndarray, size_grid: int = 64) -> jnp.ndarray:
     """Occupancy voxelisation in a per-cloud cubic bounding box.
 
-    Mirrors PyntCloud's regular (cube) voxelgrid: the bounding box is expanded
-    symmetrically on the short axes so every side has equal length, then
-    points scatter into an n^3 boolean grid.  points: (N, 3) -> (n, n, n).
+    Matches PyntCloud's regular voxelgrid semantics exactly (the reference's
+    IoU backend, utils/voxel_util.py:89-105): the bounding box is expanded
+    symmetrically on the short axes to a cube (regular_bounding_box), and
+    binning follows ``searchsorted(linspace(lo, hi, n+1), x, 'left') - 1``
+    clipped into range — a point exactly ON an interior voxel boundary goes
+    to the LOWER voxel (ceil semantics), not the upper (floor semantics).
+    points: (N, 3) -> (n, n, n).
     """
-    pts = points.astype(jnp.float32)
+    pts = points.astype(jnp.promote_types(points.dtype, jnp.float32))
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
     side = jnp.max(hi - lo)
     center = (hi + lo) / 2
     lo_c = center - side / 2
     rel = (pts - lo_c) / jnp.where(side == 0, 1.0, side)
-    idx = jnp.clip((rel * size_grid).astype(jnp.int32), 0, size_grid - 1)
+    # searchsorted-left == ceil(rel * n) - 1 on the open interval
+    idx = jnp.ceil(rel * size_grid).astype(jnp.int32) - 1
+    idx = jnp.clip(idx, 0, size_grid - 1)
     flat = (idx[:, 0] * size_grid + idx[:, 1]) * size_grid + idx[:, 2]
     grid = jnp.zeros((size_grid**3,), jnp.bool_).at[flat].set(True)
     return grid.reshape(size_grid, size_grid, size_grid)
