@@ -264,3 +264,40 @@ class TestEMDOracle:
             earth_mover_distance_blocked(jnp.asarray(a), jnp.asarray(b), block)
         )
         np.testing.assert_allclose(blocked, dense, rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("n,m", [(64, 64), (100, 72)])
+    def test_blocked_gradients_match_dense(self, rng, n, m):
+        """Trainable blocked EMD (VERDICT r2 #7): the streaming custom VJP's
+        match moments must reproduce the dense path's match-constant
+        gradients (reference emd.py:17-22 / emd_kernel.cu:287-400) for BOTH
+        inputs, including through the padding path."""
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            earth_mover_distance,
+            earth_mover_distance_blocked,
+        )
+
+        a = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.standard_normal((2, m, 3)).astype(np.float32) * 0.3)
+
+        g_dense = jax.grad(lambda x, y: earth_mover_distance(x, y).sum(),
+                           argnums=(0, 1))(a, b)
+        g_block = jax.grad(
+            lambda x, y: earth_mover_distance_blocked(x, y, 32).sum(),
+            argnums=(0, 1))(a, b)
+        for gd, gb in zip(g_dense, g_block):
+            scale = np.abs(np.asarray(gd)).max()
+            np.testing.assert_allclose(
+                np.asarray(gb), np.asarray(gd), atol=2e-4 * max(scale, 1e-6)
+            )
+
+    def test_blocked_trainable_at_dense_sizes_loss_path(self, rng):
+        """coarse_loss='emd' routes to the blocked path above 2048^2 and is
+        differentiable there (no (M, N) match in HBM)."""
+        from vn_pointcloudcompletion_tpu.metrics.losses import emd_loss
+
+        a = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32) * 0.3)
+        val, grad = jax.value_and_grad(lambda x: emd_loss(x, b))(a)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0

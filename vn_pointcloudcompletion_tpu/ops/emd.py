@@ -12,11 +12,15 @@ directly onto the MXU under ``lax.fori_loop``; no kernel needed.
 
 Gradient convention matches the reference exactly: ``match`` is treated as a
 constant in the backward pass (``emd.py:17-22`` routes grads through
-``matchcostgrad`` only), which here is simply ``stop_gradient`` on the match
-followed by autodiff through the differentiable cost contraction.
+``matchcostgrad`` only).  The dense path expresses that as ``stop_gradient``
+on the match + autodiff through the cost contraction; the blocked streaming
+path carries a custom VJP whose match moments are accumulated in-loop, so
+dense-size EMD training needs no (M, N) tensor in HBM.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -67,24 +71,26 @@ def approx_match(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> jnp.ndarray:
     return match.transpose(0, 2, 1)
 
 
-def earth_mover_distance_blocked(
-    xyz1: jnp.ndarray, xyz2: jnp.ndarray, block: int = 512
-) -> jnp.ndarray:
-    """Streaming approx-EMD cost, O(N + M) memory per sample — (B,) costs.
+def _emd_blocked_impl(xyz1, xyz2, block):
+    """Streaming approx-EMD, O(N + M) memory per sample.
+
+    Returns ``(cost (B,), s_n (B, n_pad), t_n (B, n_pad, 3), s_m, t_m)`` —
+    the cost plus the match-weighted point moments needed by the backward
+    pass: ``s_n[k] = sum_l match[l, k]``, ``t_n[k] = sum_l match[l, k] *
+    xyz2[l]`` (and the column-side pair).  The moments fall out of matmuls
+    the annealing rounds already run, widened by 4 lanes (the chamfer
+    backward's widened-scatter trick; reference grads at
+    ``emd_kernel.cu:287-400`` need exactly these sums).
 
     The dense path materialises the (M, N) soft match (1 GB/sample at 16384
-    points), capping ``--emd`` eval at batch 1.  Here each annealing round
+    points), capping dense-size EMD at batch 1.  Here each annealing round
     streams the distance matrix in ``block``-row tiles three times (row
-    ratios, column consumption, cost/row-supply update) and accumulates the
-    cost directly, so ``match`` never exists in HBM; each tile is one MXU
-    matmul (pairwise distances) + a VPU exp + a matvec.  Identical round
-    structure to ``approx_match`` / ``emd_kernel.cu:26-158``.
-
-    Eval-only: gradients follow the dense ``earth_mover_distance`` (training
-    uses it at coarse sizes); inputs are stop-gradiented here.
+    ratios, column consumption, cost/row-supply update); each tile is one
+    MXU matmul + a VPU exp + a thin matvec.  Identical round structure to
+    ``approx_match`` / ``emd_kernel.cu:26-158``.
     """
-    x1 = jax.lax.stop_gradient(xyz1).astype(jnp.float32)
-    x2 = jax.lax.stop_gradient(xyz2).astype(jnp.float32)
+    x1 = xyz1.astype(jnp.float32)
+    x2 = xyz2.astype(jnp.float32)
     b, n, _ = x1.shape
     m = x2.shape[1]
     if n >= m:
@@ -123,7 +129,7 @@ def earth_mover_distance_blocked(
         c_blocks = x2s.reshape(m_pad // block, block, 3)
 
         def round_body(i, carry):
-            remain_l, remain_r, cost = carry
+            remain_l, remain_r, cost, s_n, t_n, s_m, t_m = carry
             level = levels[i]
 
             suml = jax.lax.map(
@@ -131,28 +137,84 @@ def earth_mover_distance_blocked(
             ).reshape(n_pad) + 1e-9
             ratio_l = remain_l / suml
 
-            sumr = jax.lax.map(
-                lambda cb: jnp.exp(level * sqd(cb, x1s)) @ ratio_l, c_blocks
-            ).reshape(m_pad) * remain_r
+            # widened column pass: w_c @ [ratio_l | ratio_l * x1] gives the
+            # column ratio sums AND the column match moments in one matmul
+            v4 = jnp.concatenate(
+                [ratio_l[:, None], ratio_l[:, None] * x1s], axis=1
+            )
+            z = jax.lax.map(
+                lambda cb: jnp.exp(level * sqd(cb, x1s)) @ v4, c_blocks
+            ).reshape(m_pad, 4)
+            sumr = z[:, 0] * remain_r
             consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
             ratio_r = consumption * remain_r
             remain_r = jnp.maximum(0.0, remain_r - sumr)
+            s_m = s_m + ratio_r * z[:, 0]
+            t_m = t_m + ratio_r[:, None] * z[:, 1:]
+
+            # widened row pass: w @ [ratio_r | ratio_r * x2] + the cost term
+            u4 = jnp.concatenate(
+                [ratio_r[:, None], ratio_r[:, None] * x2s], axis=1
+            )
 
             def fc(rb):
                 d = sqd(rb, x2s)
                 w = jnp.exp(level * d)
-                return w @ ratio_r, (w * d) @ ratio_r
+                return w @ u4, (w * d) @ ratio_r
 
-            s1, s2 = jax.lax.map(fc, r_blocks)
-            cost = cost + jnp.sum(ratio_l * s2.reshape(n_pad))
-            remain_l = jnp.maximum(0.0, remain_l - ratio_l * s1.reshape(n_pad))
-            return remain_l, remain_r, cost
+            y, c2 = jax.lax.map(fc, r_blocks)
+            y = y.reshape(n_pad, 4)
+            cost = cost + jnp.sum(ratio_l * c2.reshape(n_pad))
+            s_n = s_n + ratio_l * y[:, 0]
+            t_n = t_n + ratio_l[:, None] * y[:, 1:]
+            remain_l = jnp.maximum(0.0, remain_l - ratio_l * y[:, 0])
+            return remain_l, remain_r, cost, s_n, t_n, s_m, t_m
 
-        init = (multi_l * row_mask, multi_r * col_mask, jnp.float32(0.0))
-        _, _, cost = jax.lax.fori_loop(0, levels.shape[0], round_body, init)
-        return cost
+        init = (
+            multi_l * row_mask, multi_r * col_mask, jnp.float32(0.0),
+            jnp.zeros((n_pad,), jnp.float32),
+            jnp.zeros((n_pad, 3), jnp.float32),
+            jnp.zeros((m_pad,), jnp.float32),
+            jnp.zeros((m_pad, 3), jnp.float32),
+        )
+        _, _, cost, s_n, t_n, s_m, t_m = jax.lax.fori_loop(
+            0, levels.shape[0], round_body, init
+        )
+        return cost, s_n[:n], t_n[:n], s_m[:m], t_m[:m]
 
     return jax.vmap(per_sample)(x1p, x2p)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def earth_mover_distance_blocked(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, block: int = 512
+) -> jnp.ndarray:
+    """Streaming approx-EMD cost, O(N + M) memory — (B,) costs, TRAINABLE.
+
+    Gradients follow the reference convention (``match`` constant,
+    ``emd.py:17-22`` / ``matchcostgrad`` at ``emd_kernel.cu:287-400``):
+    ``d cost / d xyz1[k] = 2 * (xyz1[k] * s_k - t_k)`` with the match-row
+    moments ``s, t`` accumulated inside the streaming forward — so
+    ``coarse_loss='emd'`` is usable at dense sizes without the (M, N) match
+    matrix ever existing in HBM.
+    """
+    return _emd_blocked_impl(xyz1, xyz2, block)[0]
+
+
+def _emd_blocked_fwd(xyz1, xyz2, block):
+    cost, s_n, t_n, s_m, t_m = _emd_blocked_impl(xyz1, xyz2, block)
+    return cost, (xyz1, xyz2, s_n, t_n, s_m, t_m)
+
+
+def _emd_blocked_bwd(block, res, g):
+    xyz1, xyz2, s_n, t_n, s_m, t_m = res
+    gb = g[:, None, None].astype(jnp.float32)
+    g1 = 2.0 * gb * (xyz1.astype(jnp.float32) * s_n[..., None] - t_n)
+    g2 = 2.0 * gb * (xyz2.astype(jnp.float32) * s_m[..., None] - t_m)
+    return g1.astype(xyz1.dtype), g2.astype(xyz2.dtype)
+
+
+earth_mover_distance_blocked.defvjp(_emd_blocked_fwd, _emd_blocked_bwd)
 
 
 def approx_match_reference(xyz1, xyz2):
