@@ -168,6 +168,52 @@ class TestVNPCTransformer:
         _, ((c, c_cat), fg) = init_and_run(model, xyz)
         assert c.shape == (1, 32, 3) and fg.shape == (1, 1024)
 
+    def test_pointr_decoder_through_composer(self, rng):
+        """pointr_decoder=True wires the 8-block decoder stack end-to-end
+        (VERDICT r2 #10): fine output produced, and gradients reach the
+        decoder stack AND the fold's query projection — the stack is live
+        product surface, not dead compute."""
+        import jax
+
+        from vn_pointcloudcompletion_tpu.metrics.losses import cd_loss_l1
+
+        xyz = jnp.asarray(rng.standard_normal((1, 600, 3)).astype(np.float32))
+        model = PCNNet(
+            enc_type="vn_pointr", dec_type="attention_vn_foldingnet",
+            num_coarse=448, latent_dim=2048, pointr_decoder=True,
+        )
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=False)
+        )(jax.random.key(0), xyz)
+        coarse, fine = model.apply(variables, xyz, train=False)
+        assert coarse.shape == (1, 448, 3)
+        # fold runs around the 224 predicted centres (grid 8 -> 64 each)
+        assert fine.shape == (1, 224 * 64, 3)
+        enc_params = variables["params"]["encoder"]
+        assert "decoder_0" in enc_params and "decoder_scan" in enc_params
+        assert "query_proj" in variables["params"]["decoder"]
+
+        gt = jnp.asarray(rng.standard_normal((1, 2048, 3)).astype(np.float32))
+
+        def loss_fn(params):
+            c, f = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                xyz, train=False,
+            )
+            return cd_loss_l1(f, gt)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        g_dec = np.concatenate([
+            np.abs(np.asarray(g)).ravel()
+            for g in jax.tree_util.tree_leaves(grads["encoder"]["decoder_scan"])
+        ])
+        assert g_dec.max() > 0, "decoder stack got zero gradient"
+        g_qp = np.abs(
+            np.asarray(grads["decoder"]["query_proj"]["kernel"])
+        ).max()
+        assert g_qp > 0, "query projection got zero gradient"
+
 
 class TestPCNNet:
     def test_vn_pointnet_vn_foldingnet(self, rng):

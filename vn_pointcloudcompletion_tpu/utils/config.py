@@ -22,6 +22,10 @@ class Config:
     enc_type: str = "vn_pointnet"
     dec_type: str = "vn_foldingnet"
     only_coarse: bool = False
+    # PoinTr-proper rebuild: run vn_pointr's 8-block transformer decoder and
+    # condition the fold on its refined query features (the reference builds
+    # this stack but leaves it dead behind only_coarse=True, model.py:23-24)
+    pointr_decoder: bool = False
     num_coarse: int = 1024
     latent_dim: int = 2048
     enc_pretrained: str = "none"
