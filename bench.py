@@ -219,6 +219,28 @@ def main():
                                     "batch_size": 8}
     except Exception as e:
         extras["emd_eval_16384"] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    try:
+        # multichip-efficiency tracker: sharded step on a virtual CPU mesh
+        # at sizes 1/2/4/8, run in a subprocess so this process's TPU
+        # backend stays untouched (shape of scaling, not absolute speed)
+        import subprocess
+        import sys
+
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError("time budget")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        out = subprocess.run(
+            [sys.executable, "-m",
+             "vn_pointcloudcompletion_tpu.parallel.mesh_bench"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        extras["mesh_scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        extras["mesh_scaling"] = {"error": f"{type(e).__name__}: {e}"[:160]}
     print(
         json.dumps(
             {

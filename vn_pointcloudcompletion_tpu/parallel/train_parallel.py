@@ -21,9 +21,16 @@ from vn_pointcloudcompletion_tpu.utils.config import Config
 
 
 def shard_state(state, mesh):
-    """Replicate the train state across the mesh."""
+    """Replicate the train state across the mesh.
+
+    Always materialises FRESH buffers (jit identity with explicit output
+    sharding): the parallel train step donates its state argument, and a
+    plain device_put can alias the caller's buffers when a shard already
+    lives on the source device — donation would then delete the caller's
+    copy out from under it.
+    """
     rep = NamedSharding(mesh, P())
-    return jax.device_put(state, rep)
+    return jax.jit(lambda s: s, out_shardings=rep)(state)
 
 
 def make_parallel_steps(config: Config, mesh):
