@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Procedural CAD-mesh generator for dataset builds (no ShapeNet download).
+
+Emits watertight-enough triangle OBJ meshes in three parametric families that
+mimic PCN categories — ``airplane`` (fuselage + swept wings + tail),
+``chair`` (legs + seat + backrest), ``table`` (top + legs / pedestal) — with
+randomized proportions per model.  Meshes are normalised to a unit bounding
+cube centred at the origin (the ShapeNet convention) and are consumed by
+``tools/mesh_sampling`` (area-weighted surface sampling, the reference
+``sample/mesh_sampling.cpp`` role) + ``tools/render_partials.py`` (z-buffer
+partial views, the reference ``render/`` role) to produce a full PCN-layout
+dataset for real-protocol training runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _box(center, size, rot=None):
+    """Axis-aligned box as 12 triangles; optional 3x3 rotation."""
+    cx, cy, cz = center
+    sx, sy, sz = np.asarray(size) / 2.0
+    v = np.array([
+        [-sx, -sy, -sz], [sx, -sy, -sz], [sx, sy, -sz], [-sx, sy, -sz],
+        [-sx, -sy, sz], [sx, -sy, sz], [sx, sy, sz], [-sx, sy, sz],
+    ])
+    if rot is not None:
+        v = v @ rot.T
+    v = v + np.array([cx, cy, cz])
+    f = np.array([
+        [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+        [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+        [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+    ])
+    return v, f
+
+
+def _cylinder(p0, p1, radius, nseg=14, rx=None):
+    """Capped cylinder from p0 to p1 (radius may be a (2,) pair for taper)."""
+    p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
+    r0, r1 = (radius, radius) if np.isscalar(radius) else radius
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    axis = axis / length
+    # build an orthonormal frame around the axis
+    ref = np.array([0.0, 0.0, 1.0]) if abs(axis[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    u = np.cross(axis, ref)
+    u /= np.linalg.norm(u)
+    w = np.cross(axis, u)
+    ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+    ring0 = p0 + r0 * (np.outer(np.cos(ang), u) + np.outer(np.sin(ang), w))
+    ring1 = p1 + r1 * (np.outer(np.cos(ang), u) + np.outer(np.sin(ang), w))
+    v = np.concatenate([ring0, ring1, [p0], [p1]])
+    c0, c1 = 2 * nseg, 2 * nseg + 1
+    f = []
+    for i in range(nseg):
+        j = (i + 1) % nseg
+        f += [[i, j, nseg + i], [j, nseg + j, nseg + i]]
+        f += [[c0, j, i], [c1, nseg + i, nseg + j]]
+    return v, np.array(f)
+
+
+def _ellipsoid(center, radii, nu=16, nv=10):
+    """UV-sphere scaled to radii."""
+    us = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vs = np.linspace(0, np.pi, nv + 1)[1:-1]
+    verts = [np.array([0, 0, 1.0]), np.array([0, 0, -1.0])]
+    for p in vs:
+        for t in us:
+            verts.append(np.array([
+                np.sin(p) * np.cos(t), np.sin(p) * np.sin(t), np.cos(p)
+            ]))
+    v = np.asarray(verts) * np.asarray(radii) + np.asarray(center)
+    f = []
+    def vid(i, j):
+        return 2 + i * nu + (j % nu)
+    for j in range(nu):  # polar caps
+        f.append([0, vid(0, j), vid(0, j + 1)])
+        f.append([1, vid(len(vs) - 1, j + 1), vid(len(vs) - 1, j)])
+    for i in range(len(vs) - 1):
+        for j in range(nu):
+            f += [[vid(i, j), vid(i + 1, j), vid(i, j + 1)],
+                  [vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)]]
+    return v, np.array(f)
+
+
+def _merge(parts):
+    verts, faces, off = [], [], 0
+    for v, f in parts:
+        verts.append(v)
+        faces.append(np.asarray(f) + off)
+        off += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def make_airplane(rng):
+    L = rng.uniform(0.8, 1.1)           # fuselage length
+    rf = rng.uniform(0.05, 0.09)        # fuselage radius
+    span = rng.uniform(0.7, 1.1)
+    chord = rng.uniform(0.12, 0.22)
+    sweep = rng.uniform(0.0, 0.18)
+    wx = rng.uniform(-0.1, 0.1)         # wing root position along fuselage
+    parts = [
+        _ellipsoid([0, 0, 0], [L / 2, rf, rf]),
+        # main wings (thin swept boxes, port/starboard)
+        _box([wx - sweep / 2, span / 4, 0], [chord, span / 2, 0.015],
+             rot=_rot_z(-sweep)),
+        _box([wx - sweep / 2, -span / 4, 0], [chord, span / 2, 0.015],
+             rot=_rot_z(sweep)),
+        # horizontal stabilizer + vertical fin at the tail
+        _box([-L / 2 + 0.06, 0, 0.01], [0.1, rng.uniform(0.25, 0.4), 0.012]),
+        _box([-L / 2 + 0.06, 0, 0.07], [0.09, 0.012, rng.uniform(0.1, 0.16)]),
+    ]
+    if rng.random() < 0.5:  # engines under wings
+        re = rng.uniform(0.02, 0.035)
+        ey = span * rng.uniform(0.12, 0.2)
+        for s in (+1, -1):
+            parts.append(_cylinder([wx + 0.1, s * ey, -rf], [wx - 0.1, s * ey, -rf], re))
+    return _merge(parts)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def make_chair(rng):
+    seat_h = rng.uniform(0.35, 0.5)
+    seat_w = rng.uniform(0.35, 0.5)
+    seat_d = rng.uniform(0.35, 0.5)
+    back_h = rng.uniform(0.35, 0.6)
+    leg_r = rng.uniform(0.012, 0.025)
+    tilt = rng.uniform(0.0, 0.15)
+    parts = [_box([0, 0, seat_h], [seat_w, seat_d, 0.04])]
+    # backrest (solid or slatted)
+    bx = -seat_w / 2 + 0.02
+    back = _box([bx - np.sin(tilt) * back_h / 2, 0, seat_h + back_h / 2],
+                [0.035, seat_d * 0.95, back_h], rot=_rot_y(tilt))
+    parts.append(back)
+    if rng.random() < 0.4:  # armrests
+        for s in (+1, -1):
+            parts.append(_box([0, s * (seat_d / 2 - 0.02), seat_h + 0.12],
+                              [seat_w * 0.8, 0.03, 0.03]))
+            parts.append(_cylinder([seat_w * 0.3, s * (seat_d / 2 - 0.02), seat_h],
+                                   [seat_w * 0.3, s * (seat_d / 2 - 0.02), seat_h + 0.12],
+                                   0.012))
+    for sx in (+1, -1):
+        for sy in (+1, -1):
+            x = sx * (seat_w / 2 - leg_r * 2)
+            y = sy * (seat_d / 2 - leg_r * 2)
+            parts.append(_cylinder([x, y, 0], [x, y, seat_h], leg_r))
+    return _merge(parts)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def make_table(rng):
+    top_w = rng.uniform(0.7, 1.1)
+    top_d = rng.uniform(0.5, 0.9)
+    h = rng.uniform(0.4, 0.65)
+    parts = [_box([0, 0, h], [top_w, top_d, rng.uniform(0.025, 0.05)])]
+    if rng.random() < 0.3:  # pedestal table
+        parts.append(_cylinder([0, 0, 0.02], [0, 0, h], rng.uniform(0.04, 0.07)))
+        parts.append(_cylinder([0, 0, 0], [0, 0, 0.03], top_w * rng.uniform(0.2, 0.3)))
+    else:
+        leg_r = rng.uniform(0.015, 0.03)
+        for sx in (+1, -1):
+            for sy in (+1, -1):
+                x = sx * (top_w / 2 - 0.06)
+                y = sy * (top_d / 2 - 0.06)
+                parts.append(_cylinder([x, y, 0], [x, y, h], leg_r))
+        if rng.random() < 0.5:  # lower shelf
+            parts.append(_box([0, 0, h * rng.uniform(0.25, 0.45)],
+                              [top_w * 0.85, top_d * 0.85, 0.02]))
+    return _merge(parts)
+
+
+BUILDERS = {
+    "airplane": make_airplane,
+    "chair": make_chair,
+    "table": make_table,
+}
+
+
+def normalize(v):
+    """Centre at origin, scale the longest side to 0.9 (ShapeNet-like)."""
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    center = (lo + hi) / 2
+    scale = 0.9 / (hi - lo).max()
+    return (v - center) * scale
+
+
+def write_obj(path, v, f):
+    with open(path, "w") as fh:
+        for p in v:
+            fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for tri in f:
+            fh.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+
+
+def generate(category: str, seed: int):
+    rng = np.random.default_rng(seed)
+    v, f = BUILDERS[category](rng)
+    return normalize(v), f
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--category", required=True, choices=sorted(BUILDERS))
+    ap.add_argument("--count", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(args.count):
+        v, f = generate(args.category, args.seed + i)
+        write_obj(os.path.join(args.out_dir, f"{args.category}_{i:04d}.obj"), v, f)
+    print(f"wrote {args.count} {args.category} meshes -> {args.out_dir}")
