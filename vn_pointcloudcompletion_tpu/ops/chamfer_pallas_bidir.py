@@ -10,6 +10,16 @@ one-sided passes; exact f32 like the one-sided kernel.
 
 Requires both clouds padded to tile multiples (zero-padded points are masked
 in both directions).
+
+Rejected-with-data (round 3): a packed min+argmin variant — truncate the
+distance mantissa to 9 bits, OR a 14-bit point index into the low bits, ONE
+int32 min-reduce per direction (3 VPU ops vs 4), half the partial-buffer
+writes, exact distances recovered by an O(N) gather outside.  Measured on
+v5e at 16 x 16384 x 16384 f32: 26.5 ms vs 23.9 ms for this exact kernel —
+SLOWER despite ~2.5 fewer VPU ops/element, i.e. the kernel is not
+VPU-op-count-bound at TM=4096 (int min/bitcast lanes are no cheaper than the
+float cmp+select chain on this VPU).  The fwd floor claim in BASELINE.md is
+therefore empirical, not an op-count argument.
 """
 
 from __future__ import annotations
