@@ -485,6 +485,7 @@ class TestModelParity:
             np.median(np.abs(np.asarray(coarse) - ref["coarse"])), 0, atol=2e-3
         )
 
+    @pytest.mark.slow
     def test_flagship_param_gradients_match(self, transfused):
         """Backward parity: d(cd_L1(coarse)+cd_L1(fine))/d(params) vs torch.
 
