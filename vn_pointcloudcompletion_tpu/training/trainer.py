@@ -277,8 +277,14 @@ def train(config: Config, resume: bool = False,
             save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
                             best_epoch_l1, "best")
             log.info(f"Save checkpoint at {config.exp_dir}/models/model_best.ckpt")
-        save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
-                        best_epoch_l1, "last")
+        # "last" every epoch is the reference's crash-recovery granularity
+        # (train.py:268); checkpoint_last_every > 1 trades recovery
+        # granularity for epoch time on hosts where the device->host
+        # parameter pull is slow (e.g. a tunneled device)
+        last_every = max(getattr(config, "checkpoint_last_every", 1), 1)
+        if epoch % last_every == 0 or epoch == end_epoch:
+            save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
+                            best_epoch_l1, "last")
         if config.checkpoint_every and epoch % config.checkpoint_every == 0:
             # numbered checkpoints are the branch points for `-from <epoch>`
             save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,

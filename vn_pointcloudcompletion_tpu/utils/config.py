@@ -68,6 +68,9 @@ class Config:
     # (0 = only best/last, the reference's behaviour); numbered checkpoints
     # are what `-from <epoch>` branches from
     checkpoint_every: int = 0
+    # save model_last/optim_last every N epochs (1 = reference parity,
+    # train.py:268; raise on hosts where the device->host pull is slow)
+    checkpoint_last_every: int = 1
     log_frequency: int = 10
     overfit: bool = False
 
