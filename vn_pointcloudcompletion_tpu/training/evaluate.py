@@ -140,11 +140,17 @@ def evaluate(config: Config, save: bool = False,
         res = test_single_category(
             config, state, metric_step, category, rng, save_dir
         )
+        if not res:
+            # dataset has no models of this category (e.g. generated subsets)
+            log.info(f"{category:20s} (no test samples — skipped)")
+            continue
         results[category] = res
         row = _format_row(category, res)
         log.info(row)
         print(row)
 
+    if not results:
+        raise FileNotFoundError("no test samples found for any category")
     keys = next(iter(results.values())).keys()
     avg = {k: float(np.mean([r[k] for r in results.values()])) for k in keys}
     results["average"] = avg
