@@ -162,3 +162,119 @@ class TestSemantics:
         np.testing.assert_allclose(
             mean_pool(x), np.asarray(x).mean(axis=-1), atol=1e-6
         )
+
+
+class TestEdgeConvDecomposition:
+    """The decomposed EdgeConv path (VNLinearLeakyReLU(edge_idx=...)) must
+    match the reference composition (vn_graph_feature_planes -> layer ->
+    K-mean) in outputs, gradients, BN running stats, and parameter tree."""
+
+    @pytest.fixture
+    def setup(self, rng):
+        from vn_pointcloudcompletion_tpu.models.dgcnn import (
+            _edge_idx_planes,
+            _edge_vn_planes,
+            _pool_edge_planes,
+        )
+
+        b, c, n, k = 2, 8, 32, 4
+        x = jnp.asarray(rng.standard_normal((b, 3, c, n)).astype(np.float32))
+        idx = _edge_idx_planes(x, k)
+        mod = VNLinearLeakyReLU(16, layout="plane")
+
+        def legacy(variables, x, train=False, **kw):
+            f = _edge_vn_planes(x, k)
+            out = mod.apply(variables, f, train=train, **kw)
+            if train:
+                out, updated = out
+                return _pool_edge_planes(out, n, k), updated
+            return _pool_edge_planes(out, n, k)
+
+        def edge(variables, x, train=False, **kw):
+            out = mod.apply(variables, x, train=train, edge_idx=idx, **kw)
+            if train:
+                return out
+            return out
+
+        return mod, x, idx, legacy, edge
+
+    def test_param_tree_identical(self, setup):
+        mod, x, idx, _, _ = setup
+        from vn_pointcloudcompletion_tpu.models.dgcnn import _edge_vn_planes
+
+        v_edge = mod.init(jax.random.key(0), x, edge_idx=idx)
+        v_leg = mod.init(jax.random.key(0), _edge_vn_planes(x, idx.shape[2]))
+        leg_shapes = jax.tree.map(jnp.shape, v_leg)
+        edge_shapes = jax.tree.map(jnp.shape, v_edge)
+        assert leg_shapes == edge_shapes
+
+    def test_forward_eval(self, setup):
+        mod, x, idx, legacy, edge = setup
+        variables = mod.init(jax.random.key(0), x, edge_idx=idx)
+        np.testing.assert_allclose(
+            edge(variables, x), legacy(variables, x), atol=ATOL
+        )
+
+    def test_forward_train_and_stats(self, setup):
+        mod, x, idx, legacy, edge = setup
+        variables = mod.init(jax.random.key(0), x, edge_idx=idx)
+        out_e, up_e = mod.apply(
+            variables, x, train=True, edge_idx=idx, mutable=["batch_stats"]
+        )
+        out_l, up_l = legacy(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(out_e, out_l, atol=ATOL)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, atol=ATOL),
+            up_e, up_l,
+        )
+
+    def test_gradients_match(self, setup):
+        mod, x, idx, legacy, edge = setup
+        variables = mod.init(jax.random.key(0), x, edge_idx=idx)
+
+        def loss_e(params, x):
+            out, _ = mod.apply(
+                {**variables, "params": params}, x, train=True,
+                edge_idx=idx, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * out)
+
+        def loss_l(params, x):
+            out, _ = legacy(
+                {**variables, "params": params}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out * out)
+
+        ge = jax.grad(loss_e, argnums=(0, 1))(variables["params"], x)
+        gl = jax.grad(loss_l, argnums=(0, 1))(variables["params"], x)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, atol=5e-4),
+            ge, gl,
+        )
+
+    def test_onehot_gather_matches_take(self, rng):
+        from vn_pointcloudcompletion_tpu.ops.knn import gather_planes
+
+        x = jnp.asarray(rng.standard_normal((2, 3, 8, 32)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 32, (2, 32, 4)).astype(np.int32))
+        np.testing.assert_allclose(
+            gather_planes(x, idx, mode="onehot"),
+            gather_planes(x, idx, mode="take"),
+            atol=1e-6,
+        )
+
+    def test_grouper_gated_paths_agree(self, rng, monkeypatch):
+        from vn_pointcloudcompletion_tpu.models.pointr import VNDGCNNGrouper
+
+        xyz = jnp.asarray(
+            rng.standard_normal((2, 2048, 3)).astype(np.float32)
+        )
+        monkeypatch.setenv("VN_EDGE_FUSED", "1")
+        mod = VNDGCNNGrouper()
+        v = mod.init(jax.random.key(0), xyz)
+        coor_f, f_f = mod.apply(v, xyz)
+        monkeypatch.setenv("VN_EDGE_FUSED", "0")
+        coor_r, f_r = mod.apply(v, xyz)
+        np.testing.assert_allclose(coor_f, coor_r, atol=ATOL)
+        np.testing.assert_allclose(f_f, f_r, atol=1e-4)

@@ -15,6 +15,8 @@ kNN graphs and FPS come from ``ops`` (no CUDA externals); gathers are plain
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -59,15 +61,15 @@ def _edge_scalar(coor_q, x_q, coor_k, x_k, k=16):
     return graph_feature(x_q, x_k, idx)  # (B, 2C, Nq, K)
 
 
-def _edge_vn_planes(x, k=16, coords=None):
-    """Plane-layout VN EdgeConv features with flattened neighbour axis.
+def _edge_idx_planes(x, k=16, coords=None):
+    """kNN indices for a plane-layout EdgeConv.
 
-    x: (B, 3, C, N).  Returns (B, 3, 2C, N*K) — the kNN metric over the
-    flattened feature vector is permutation-invariant, so the plane flatten
-    gives the same neighbour sets as the reference's (C, 3) ordering.
+    Metric is euclidean over the flattened (3C,) feature vector (the
+    reference's dynamic graph) unless explicit ``coords`` are given.  The
+    kNN metric over the flattened vector is permutation-invariant, so the
+    plane flatten gives the same neighbour sets as the reference's (C, 3)
+    ordering.
     """
-    from vn_pointcloudcompletion_tpu.ops.knn import vn_graph_feature_planes
-
     if coords is None:
         b, _, c, n = x.shape
         flat = x.reshape(b, 3 * c, n).transpose(0, 2, 1)
@@ -75,7 +77,55 @@ def _edge_vn_planes(x, k=16, coords=None):
     else:
         pts = coords.transpose(0, 2, 1)
         _, idx = knn(pts, pts, k)
+    return idx
+
+
+def _edge_vn_planes(x, k=16, coords=None):
+    """Plane-layout VN EdgeConv features with flattened neighbour axis.
+
+    x: (B, 3, C, N).  Returns (B, 3, 2C, N*K).
+    """
+    from vn_pointcloudcompletion_tpu.ops.knn import vn_graph_feature_planes
+
+    idx = _edge_idx_planes(x, k, coords)
     return vn_graph_feature_planes(x, x, idx)
+
+
+def edge_fused_enabled() -> bool:
+    """Whether VN EdgeConv stages run the decomposed per-point-matmul path
+    (``VNLinearLeakyReLU(edge_idx=...)``) instead of building the
+    (B, 3, 2C, N*K) edge tensor.  ``VN_EDGE_FUSED`` ∈ {1, 0, auto}; auto
+    engages on TPU, where the gather rides the MXU (ops/knn.gather_planes)."""
+    mode = os.environ.get("VN_EDGE_FUSED", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def vn_edge_layer(x, out, name, k=16, coords=None, train=False):
+    """One VN EdgeConv stage: dynamic-kNN graph -> VNLinearLeakyReLU ->
+    mean pool over K.  x: (B, 3, C, N) -> (B, 3, out, N).
+
+    Dispatches between the decomposed edge path and the reference
+    composition (identical math and parameter tree — the decomposition
+    moves the channel matmul before the gather; see nn/vn.py edge mode).
+    The first layer (C < 16) always takes the reference path: its gather
+    moves 3 floats per edge, so pre-transforming to ``out`` channels would
+    inflate the gather instead of shrinking the matmul.
+    """
+    c, n = x.shape[2], x.shape[3]
+    if c >= 16 and edge_fused_enabled():
+        idx = _edge_idx_planes(x, k, coords)
+        return VNLinearLeakyReLU(out, layout="plane", name=name)(
+            x, train=train, edge_idx=idx
+        )
+    f = _edge_vn_planes(x, k, coords)
+    f = VNLinearLeakyReLU(out, layout="plane", name=name)(f, train=train)
+    return _pool_edge_planes(f, n, k)
 
 
 def _pool_edge_planes(f, n, k):
@@ -159,18 +209,11 @@ class VNDGCNNfps(nn.Module):
         x1 = _pool_edge_planes(f, n, 16)  # (B, 3, 32, N)
 
         coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-        f = _edge_vn_planes(f_q, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(64, layout="plane", name="conv4")(f, train=train)
-        f = _pool_edge_planes(f, 512, 16)
-
-        f = _edge_vn_planes(f, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(128, layout="plane", name="conv5")(f, train=train)
-        f = _pool_edge_planes(f, 512, 16)
-
+        f = vn_edge_layer(f_q, 64, "conv4", coords=coor_q, train=train)
+        f = vn_edge_layer(f, 128, "conv5", coords=coor_q, train=train)
         coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-        f = _edge_vn_planes(f_q, 16, coords=coor_q)
-        f = VNLinearLeakyReLU(512, layout="plane", name="conv6")(f, train=train)
-        f = _pool_edge_planes(f, 128, 16)  # (B, 3, 512, 128)
+        f = vn_edge_layer(f_q, 512, "conv6", coords=coor_q, train=train)
+        # (B, 3, 512, 128)
 
         gf_planes = VNMaxPool(layout="plane", name="pool5")(f)[..., None]
         h = VNLinearLeakyReLU(1024, layout="plane", name="conv7_0")(

@@ -78,6 +78,7 @@ class VNDGCNNGrouper(nn.Module):
         from vn_pointcloudcompletion_tpu.models.dgcnn import (
             _edge_vn_planes,
             _pool_edge_planes,
+            vn_edge_layer,
         )
 
         n = xyz.shape[1]
@@ -88,19 +89,12 @@ class VNDGCNNGrouper(nn.Module):
         f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(f, train=train)
         x1 = _pool_edge_planes(f, n, 16)
 
+        # layers 2-4: dynamic feature-space graphs (no coords passed)
         coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-        f = _edge_vn_planes(f_q, 16)  # dynamic feature-space graph
-        f = VNLinearLeakyReLU(64, layout="plane", name="conv4")(f, train=train)
-        f = _pool_edge_planes(f, 512, 16)
-
-        f = _edge_vn_planes(f, 16)
-        f = VNLinearLeakyReLU(64, layout="plane", name="conv5")(f, train=train)
-        f = _pool_edge_planes(f, 512, 16)
-
+        f = vn_edge_layer(f_q, 64, "conv4", train=train)
+        f = vn_edge_layer(f, 64, "conv5", train=train)
         coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-        f = _edge_vn_planes(f_q, 16)
-        f = VNLinearLeakyReLU(128, layout="plane", name="conv6")(f, train=train)
-        f = _pool_edge_planes(f, 128, 16)  # (B, 3, 128, 128)
+        f = vn_edge_layer(f_q, 128, "conv6", train=train)  # (B, 3, 128, 128)
         # public contract stays vec layout (B, 128, 3, 128)
         return coor_q, jnp.swapaxes(f, 1, 2)
 

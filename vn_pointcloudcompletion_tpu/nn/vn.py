@@ -260,13 +260,76 @@ class VNLinearLeakyReLU(nn.Module):
     layer_fused: "bool | None" = None  # whole-layer Pallas op (matmul incl.)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, project_out=None):
+    def __call__(
+        self, x, train: bool = False, project_out=None, edge_idx=None,
+        pool_k=None,
+    ):
         """``project_out``: optional (1, C_out) kernel of a trailing
         1-channel VNLinear (owned by the CALLER's scope) — on the fused-layer
         path the contraction runs in-kernel so the (B, 3, C_out, N)
-        activation never exists; otherwise it is applied after."""
+        activation never exists; otherwise it is applied after.
+
+        ``edge_idx``: (B, Nq, K) kNN indices — EdgeConv mode (plane layout
+        only).  ``x`` is then the PER-POINT feature (B, 3, C, N) and the
+        layer computes the conv over ``concat([x[nbr] - x[q], x[q]])`` edge
+        features followed by a mean pool over K, without ever building the
+        (B, 3, 2C, Nq*K) edge tensor before the matmul: the conv is linear,
+        so ``W @ concat(diff, ctr)`` = ``(W_diff @ x)[nbr] + ((W_ctr -
+        W_diff) @ x)[q]`` — matmuls run per point (K-fold fewer FLOPs) and
+        the gather moves post-matmul channels via :func:`ops.knn.gather_planes`.
+        Parameter tree and math are identical to composing
+        ``vn_graph_feature_planes`` + this layer + a K-mean
+        (reference ``models/dgcnn.py:250-278`` + ``vn_layers.py:46-74``)."""
         from vn_pointcloudcompletion_tpu.ops import vn_fused, vn_layer_fused
 
+        if edge_idx is not None:
+            from vn_pointcloudcompletion_tpu.ops.knn import gather_planes
+
+            if self.layout != "plane":
+                raise ValueError("edge mode requires plane layout")
+            b, _, c, n = x.shape
+            co = self.out_channels
+            w = self.param("kernel", torch_linear_init, (co, 2 * c))
+            d_out = 1 if self.share_nonlinearity else co
+            wd = self.param("dir_kernel", torch_linear_init, (d_out, 2 * c))
+            k = edge_idx.shape[2]
+            # stack feature+direction maps: one per-point matmul, one gather
+            w_diff = jnp.concatenate([w[:, :c], wd[:, :c]], axis=0)
+            w_ctr = jnp.concatenate([w[:, c:], wd[:, c:]], axis=0)
+            u = _channel_linear_plane(w_diff, x)  # (B, 3, Co+Do, N)
+            v = _channel_linear_plane(w_ctr - w_diff, x)
+            g = gather_planes(u, edge_idx)  # (B, 3, Co+Do, Nq*K)
+            nq = edge_idx.shape[1]
+            pd = g.reshape(b, 3, -1, nq, k) + v[:, :, :, :, None]
+            pd = pd.reshape(b, 3, -1, nq * k)
+            p, d = pd[:, :, :co], pd[:, :, co:]
+            if self.share_nonlinearity:
+                d = jnp.broadcast_to(d, p.shape)
+            bn = _FoldedBN(co, name="batchnorm")
+            if train:
+                ct = jnp.promote_types(p.dtype, jnp.float32)
+                norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
+                a, b_ = bn(norm, True)
+            else:
+                a, b_ = bn(None, False)
+            use_fused = self.fused
+            if use_fused is None:
+                use_fused = (
+                    vn_fused.eligible(p) and jax.default_backend() == "tpu"
+                )
+            if use_fused and vn_fused.eligible(p):
+                out = vn_fused.fused_bn_leaky(
+                    p, d, a, b_, self.negative_slope,
+                    jax.default_backend() != "tpu",
+                )
+            else:
+                out = vn_fused.reference_bn_leaky_planes(
+                    p, d, a, b_, self.negative_slope
+                )
+            out = out.reshape(b, 3, co, nq, k).mean(axis=-1)
+            if project_out is not None:
+                out = _channel_linear_plane(project_out, out)
+            return out
         if self.layout == "plane":
             c_in = x.shape[2]
             w = self.param("kernel", torch_linear_init, (self.out_channels, c_in))

@@ -70,6 +70,41 @@ def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, n, k, c)
 
 
+def gather_planes(x: jnp.ndarray, idx: jnp.ndarray, mode: str | None = None):
+    """Gather neighbour columns of plane-layout features.
+
+    x: (B, 3, C, N), idx: (B, Nq, K) -> (B, 3, C, Nq*K).
+
+    ``mode='onehot'`` runs the gather as a one-hot matmul on the MXU: a TPU
+    gather walks rows serially and — worse — its *backward* is a scatter-add;
+    as a matmul both directions are single MXU contractions.  ``mode='take'``
+    is the plain ``take_along_axis`` formulation.  ``mode=None`` picks onehot
+    on TPU when the one-hot operand (B*Nq*K*N elements) stays modest.
+    """
+    b, _, c, n = x.shape
+    nq, k = idx.shape[1], idx.shape[2]
+    flat = idx.reshape(b, nq * k)
+    if mode is None:
+        mode = (
+            "onehot"
+            if jax.default_backend() == "tpu"
+            and b * nq * k * n <= (64 << 20)
+            else "take"
+        )
+    if mode == "onehot":
+        oh = (
+            flat[:, :, None] == jnp.arange(n, dtype=jnp.int32)[None, None, :]
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "ben,bjcn->bjce", oh, x,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype)
+        return out
+    out = jnp.take_along_axis(x, flat[:, None, None, :], axis=3)
+    return out
+
+
 def graph_feature(
     x_q: jnp.ndarray, x_k: jnp.ndarray, idx: jnp.ndarray
 ) -> jnp.ndarray:
