@@ -113,6 +113,56 @@ class TestTopkMinPallas:
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gt), atol=1e-5)
 
 
+class TestKnnMinPallas:
+    """Fused distance + k-extraction vs sq-dist -> lax.top_k (interpret)."""
+
+    @pytest.mark.parametrize("n,m,d,k", [(300, 1000, 3, 16), (256, 512, 96, 8),
+                                         (70, 257, 192, 5), (128, 128, 130, 4)])
+    def test_matches_topk(self, rng, n, m, d, k):
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.ops.knn import pairwise_sqdist
+        from vn_pointcloudcompletion_tpu.ops.knn_pallas import knn_min_pallas
+
+        q = jnp.asarray(rng.standard_normal((2, n, d)).astype(np.float32))
+        r = jnp.asarray(rng.standard_normal((2, m, d)).astype(np.float32))
+        vals, idx = knn_min_pallas(q, r, k, True)
+        ref_nd, ref_i = jax.lax.top_k(-pairwise_sqdist(q, r), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(-ref_nd),
+                                   atol=1e-3)
+        assert (np.diff(np.asarray(vals), axis=-1) >= -1e-6).all()
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=-1),
+                                      np.sort(np.asarray(ref_i), axis=-1))
+        assert int(np.asarray(idx).max()) < m
+
+    def test_grads_match_composed(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.ops.knn import pairwise_sqdist
+        from vn_pointcloudcompletion_tpu.ops.knn_pallas import knn_min_pallas
+
+        # well-separated points so argmins are stable under both paths
+        q = jnp.asarray(rng.standard_normal((2, 40, 3)).astype(np.float32)) * 3
+        r = jnp.asarray(rng.standard_normal((2, 70, 3)).astype(np.float32)) * 3
+
+        def loss_fused(q, r):
+            vals, _ = knn_min_pallas(q, r, 5, True)
+            return jnp.sum(vals * jnp.arange(1.0, 6.0))
+
+        def loss_ref(q, r):
+            nd, _ = jax.lax.top_k(-pairwise_sqdist(q, r), 5)
+            return jnp.sum(-nd * jnp.arange(1.0, 6.0))
+
+        gq, gr = jax.grad(loss_fused, argnums=(0, 1))(q, r)
+        rq, rr = jax.grad(loss_ref, argnums=(0, 1))(q, r)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestFPSPallas:
     """Single-program greedy FPS vs the jnp fori_loop formulation."""
 

@@ -35,11 +35,12 @@ def eligible(m: int, k: int) -> bool:
     return m <= _MAX_M and k <= 64
 
 
-def _kernel(d_ref, vals_ref, idx_ref, *, k: int, m: int, m_pad: int, kp: int):
-    d = d_ref[0].astype(jnp.float32)  # (TN, M_pad)
+def _extract_k_min(d, k: int, kp: int):
+    """k smallest entries (ascending, ties -> smallest index) of each row.
+
+    d: (TN, M_pad) in VMEM, already masked.  Returns ((TN, kp), (TN, kp)).
+    """
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    if m_pad != m:
-        d = jnp.where(col < m, d, _BIG)
     lane = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], kp), 1)
 
     def body(i, carry):
@@ -59,8 +60,15 @@ def _kernel(d_ref, vals_ref, idx_ref, *, k: int, m: int, m_pad: int, kp: int):
         (d, jnp.zeros((d.shape[0], kp), jnp.float32),
          jnp.zeros((d.shape[0], kp), jnp.int32)),
     )
-    vals_ref[0] = vals
-    idx_ref[0] = idx
+    return vals, idx
+
+
+def _kernel(d_ref, vals_ref, idx_ref, *, k: int, m: int, m_pad: int, kp: int):
+    d = d_ref[0].astype(jnp.float32)  # (TN, M_pad)
+    if m_pad != m:
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d = jnp.where(col < m, d, _BIG)
+    vals_ref[0], idx_ref[0] = _extract_k_min(d, k, kp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -122,3 +130,129 @@ def _topk_impl(d: jnp.ndarray, k: int, interpret: bool = False):
 
 
 topk_min_pallas.defvjp(_topk_fwd, _topk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused distance + k-extraction: the (B, N, M) matrix never exists in HBM.
+#
+# The unfused path materialises pairwise distances (matmul + norm epilogue,
+# one HBM write) and re-reads them in the extraction kernel — ~3 full passes
+# of a matrix that is consumed once.  At the groupers' sizes the matmul is
+# trivially small (D <= ~200, K-starved on the MXU), so the round trips ARE
+# the cost.  Here each program holds a (TN, M) tile: cross terms via one
+# in-VMEM dot against the (D, M)-transposed reference, norms recomputed in
+# register, extraction in place.  Replaces the same reference surface as
+# ``topk_min_pallas`` (KNN_CUDA / dgcnn_util.knn).
+# ---------------------------------------------------------------------------
+
+_MAX_D = 512
+
+
+def fused_eligible(m: int, k: int, d: int) -> bool:
+    return m <= _MAX_M and k <= 64 and d <= _MAX_D
+
+
+def _fused_kernel(q_ref, rt_ref, vals_ref, idx_ref, *, k, m, m_pad, kp):
+    q = q_ref[0].astype(jnp.float32)      # (TN, D_pad)
+    rt = rt_ref[0].astype(jnp.float32)    # (D_pad, M_pad)
+    # HIGHEST matches the f32 matmul of the unfused path: the MXU's default
+    # single-pass bf16 product shifts distances by ~1e-1 and reorders ties
+    cross = jnp.dot(q, rt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    r_sq = jnp.sum(rt * rt, axis=0, keepdims=True)
+    d = q_sq + r_sq - 2.0 * cross
+    if m_pad != m:
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d = jnp.where(col < m, d, _BIG)
+    vals_ref[0], idx_ref[0] = _extract_k_min(d, k, kp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def knn_min_pallas(q: jnp.ndarray, r: jnp.ndarray, k: int,
+                   interpret: bool = False):
+    """k nearest neighbours, distances computed in-kernel.
+
+    q: (B, N, D), r: (B, M, D) -> ((B, N, k) sq-distances ascending,
+    (B, N, k) int32 indices).  Differentiable in the distances w.r.t. both
+    point sets (same cotangent flow as ``sq_dist -> top_k``); ties resolve
+    to the smallest index.
+    """
+    out, _ = _knn_fwd(q, r, k, interpret)
+    return out
+
+
+def _knn_impl(q, r, k, interpret):
+    b, n, d = q.shape
+    m = r.shape[1]
+    n_pad = -(-n // TN) * TN
+    m_pad = -(-m // 128) * 128
+    d_pad = -(-d // 128) * 128
+    if n_pad != n or d_pad != d:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+    rt = jnp.transpose(r, (0, 2, 1))
+    if m_pad != m or d_pad != d:
+        rt = jnp.pad(rt, ((0, 0), (0, d_pad - d), (0, m_pad - m)))
+    kp = -(-k // 128) * 128
+
+    vals, idx = pl.pallas_call(
+        functools.partial(_fused_kernel, k=k, m=m, m_pad=m_pad, kp=kp),
+        grid=(b, n_pad // TN),
+        in_specs=[
+            pl.BlockSpec((1, TN, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, m_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TN, kp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, kp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, kp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.PARALLEL),
+            vmem_limit_bytes=64 << 20,
+        ),
+        interpret=interpret,
+    )(q, rt)
+    return vals[:, :n, :k], idx[:, :n, :k]
+
+
+def _knn_fwd(q, r, k, interpret):
+    out = _knn_impl(q, r, k, interpret)
+    return out, (q, r, out[1])
+
+
+def _knn_bwd(k, interpret, res, cts):
+    q, r, idx = res
+    dvals, _ = cts
+    g = dvals.astype(jnp.float32)                       # (B, N, K)
+    qf = q.astype(jnp.float32)
+    rf = r.astype(jnp.float32)
+    r_nn = gather_rows(rf, idx)                         # (B, N, K, D)
+    diff = qf[:, :, None, :] - r_nn                     # q_n - r_{idx}
+    dq = 2.0 * jnp.sum(g[..., None] * diff, axis=2)
+    b, n, kk = idx.shape
+    m = r.shape[1]
+    contrib = (-2.0 * g[..., None] * diff).reshape(b, n * kk, -1)
+    dr = jax.vmap(
+        lambda z, i, v: z.at[i].add(v)
+    )(jnp.zeros((b, m, r.shape[2]), jnp.float32), idx.reshape(b, n * kk),
+      contrib)
+    return dq.astype(q.dtype), dr.astype(r.dtype)
+
+
+def gather_rows(feats, idx):
+    """feats: (B, M, D), idx: (B, N, K) -> (B, N, K, D)."""
+    b, m, d = feats.shape
+    n, k = idx.shape[1], idx.shape[2]
+    out = jnp.take_along_axis(feats, idx.reshape(b, n * k)[:, :, None], axis=1)
+    return out.reshape(b, n, k, d)
+
+
+knn_min_pallas.defvjp(_knn_fwd, _knn_bwd)
