@@ -3,10 +3,10 @@ directions' minima.
 
 The one-sided kernel (chamfer_pallas.py) computes the N x M distances twice —
 once per direction.  Here each (TN, TM) tile is computed once; row minima
-(x -> y) carry through the in-kernel loop, column minima (y -> x) are emitted
-as per-program partials (each program owns one x-tile) and reduced with a
-cheap jnp.min over the x-tile axis afterwards.  ~1.6x fewer VPU ops than two
-one-sided passes; exact f32 like the one-sided kernel.
+(x -> y) carry through the in-kernel loop, column minima (y -> x) accumulate
+across x-tile programs directly in the VMEM-resident (1, M) output block
+(sequential x-tile grid axis — free on a one-TensorCore chip).  ~1.6x fewer
+VPU ops than two one-sided passes; exact f32 like the one-sided kernel.
 
 Requires both clouds padded to tile multiples (zero-padded points are masked
 in both directions).
@@ -55,11 +55,24 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
     # x_ref: (1, 3, TN); y_ref: (1, 3, M_pad)
     # mask_rows/mask_cols are compile-time: tile-multiple clouds (the common
     # 2048/16384 sizes) skip the padding masks entirely (~30% fewer VPU ops).
+    # The y -> x direction accumulates across x-tiles IN the (1, 1, M_pad)
+    # output block: the x-tile grid axis is ARBITRARY (sequential — v5e has
+    # one TensorCore, so this costs nothing), the block index is constant
+    # along it, and Pallas keeps it VMEM-resident until the last visit.  The
+    # (B, NB, M) per-tile partials and their argmin-combine — an XLA variadic
+    # reduce that measured 1.4 ms at (8, 28, 14336) and scaled with NB*M —
+    # never exist.  Tie semantics match the old combine: strict < keeps the
+    # first (lowest row index) match.
     m_pad = y_ref.shape[2]
     num_tiles = m_pad // tm
     n_valid = nm_ref[0]
     m_valid = nm_ref[1]
     j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        cold_ref[0, 0, 0, :] = jnp.full((m_pad,), _BIG, jnp.float32)
+        coli_ref[0, 0, 0, :] = jnp.zeros((m_pad,), jnp.int32)
 
     x0 = x_ref[0, 0, :].reshape(TN, 1)
     x1 = x_ref[0, 1, :].reshape(TN, 1)
@@ -92,12 +105,16 @@ def _bidir_kernel(x_ref, y_ref, nm_ref, rowd_ref, rowi_ref, cold_ref, coli_ref,
         best_d = jnp.where(take, tile_min, best_d)
         best_i = jnp.where(take, tile_arg, best_i)
 
-        # y -> x direction: partial min over this x-tile
+        # y -> x direction: min over this x-tile, accumulated into the
+        # VMEM-resident output block
         dist_c = jnp.where(row_ok, dist, _BIG) if mask_rows else dist
         cmin = jnp.min(dist_c, axis=0)  # (TM,)
         carg = jnp.min(jnp.where(dist_c <= cmin[None, :], rows, _IMAX), axis=0)
-        cold_ref[0, 0, 0, pl.ds(t * tm, tm)] = cmin
-        coli_ref[0, 0, 0, pl.ds(t * tm, tm)] = carg
+        prev_d = cold_ref[0, 0, 0, pl.ds(t * tm, tm)]
+        prev_i = coli_ref[0, 0, 0, pl.ds(t * tm, tm)]
+        ctake = cmin < prev_d
+        cold_ref[0, 0, 0, pl.ds(t * tm, tm)] = jnp.where(ctake, cmin, prev_d)
+        coli_ref[0, 0, 0, pl.ds(t * tm, tm)] = jnp.where(ctake, carg, prev_i)
         return best_d, best_i
 
     init = (jnp.full((TN,), _BIG, dtype=jnp.float32),
@@ -151,26 +168,32 @@ def nn_bidirectional_pallas(x: jnp.ndarray, y: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TN), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nb, 1, TN), jnp.float32),
             jax.ShapeDtypeStruct((b, nb, 1, TN), jnp.int32),
-            jax.ShapeDtypeStruct((b, nb, 1, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, 1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1, m_pad), jnp.int32),
         ],
+        # the x-tile axis accumulates into the column outputs -> sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY),
+            # single-y-tile shapes (m_pad == tm, e.g. coarse 448 vs complete
+            # 4096) unroll the tile loop and Mosaic's stack accounting
+            # charges ~19 MB against the default 16 MB scoped limit; the
+            # multi-tile hot shapes fit, so this cap only unblocks the
+            # small-cloud eval path
+            vmem_limit_bytes=40 << 20,
+        ),
         interpret=interpret,
     )(xt, yt, nm)
 
     d_xy = rowd.reshape(b, n_pad)[:, :n]
     i_xy = rowi.reshape(b, n_pad)[:, :n]
-    # reduce per-x-tile column partials
-    cold = cold[:, :, 0, :m]  # (B, NB, M)
-    coli = coli[:, :, 0, :m]
-    best_tile = jnp.argmin(cold, axis=1)  # (B, M)
-    d_yx = jnp.maximum(jnp.min(cold, axis=1), 0.0)
-    i_yx = jnp.take_along_axis(coli, best_tile[:, None, :], axis=1)[:, 0, :]
+    d_yx = jnp.maximum(cold[:, 0, 0, :m], 0.0)
+    i_yx = coli[:, 0, 0, :m]
     return d_xy, i_xy, d_yx, i_yx
