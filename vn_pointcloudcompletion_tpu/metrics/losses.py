@@ -19,10 +19,26 @@ from vn_pointcloudcompletion_tpu.ops.chamfer import chamfer_distance
 from vn_pointcloudcompletion_tpu.ops.emd import earth_mover_distance
 
 
+def _sqrt0(d: jnp.ndarray) -> jnp.ndarray:
+    """``sqrt`` with a zero (not inf) gradient at exactly-zero distances.
+
+    A predicted point that coincides exactly with a ground-truth point —
+    e.g. the 448-contract coarse output appends FPS-sampled *input* points
+    verbatim, and partial clouds that are subsets of the complete cloud then
+    match to machine zero — would put ``d/dd sqrt(d) = inf`` into the
+    chamfer backward and NaN every parameter in one step (the reference's
+    ``torch.sqrt`` diverges identically; its rendered data just never hits
+    an exact zero).  Values are unchanged; the subgradient 0 is the sane
+    choice (a perfectly matched point exerts no pull).
+    """
+    pos = d > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d, 1.0)), 0.0)
+
+
 def cd_loss_l1(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
     """L1 Chamfer: (mean sqrt d1 + mean sqrt d2) / 2."""
     d1, d2, _, _ = chamfer_distance(pcs1, pcs2)
-    return (jnp.mean(jnp.sqrt(d1)) + jnp.mean(jnp.sqrt(d2))) / 2.0
+    return (jnp.mean(_sqrt0(d1)) + jnp.mean(_sqrt0(d2))) / 2.0
 
 
 def cd_loss_l2(pcs1: jnp.ndarray, pcs2: jnp.ndarray) -> jnp.ndarray:
@@ -64,11 +80,11 @@ def calc_cd(output, gt, calc_f1=False, return_raw=False, separate=False):
     ``chamfer(gt, output)`` — dist1 is over gt points.
     """
     dist1, dist2, idx1, idx2 = chamfer_distance(gt, output)
-    cd_p = (jnp.sqrt(dist1).mean(axis=1) + jnp.sqrt(dist2).mean(axis=1)) / 2
+    cd_p = (_sqrt0(dist1).mean(axis=1) + _sqrt0(dist2).mean(axis=1)) / 2
     cd_t = dist1.mean(axis=1) + dist2.mean(axis=1)
     if separate:
         res = [
-            jnp.stack([jnp.sqrt(dist1).mean(1), jnp.sqrt(dist2).mean(1)]),
+            jnp.stack([_sqrt0(dist1).mean(1), _sqrt0(dist2).mean(1)]),
             jnp.stack([dist1.mean(1), dist2.mean(1)]),
         ]
     else:
