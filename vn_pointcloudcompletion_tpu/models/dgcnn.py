@@ -85,9 +85,14 @@ def _edge_vn_planes(x, k=16, coords=None):
 
     x: (B, 3, C, N).  Returns (B, 3, 2C, N*K).
     """
+    from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
     from vn_pointcloudcompletion_tpu.ops.knn import vn_graph_feature_planes
 
     idx = _edge_idx_planes(x, k, coords)
+    # graph structure comes from the full-precision features above; under the
+    # bf16 policy only the gathered edge tensor (and the conv chain it feeds,
+    # which inherits its dtype) drops to bf16
+    x = activation_dtype(x)
     return vn_graph_feature_planes(x, x, idx)
 
 
@@ -131,7 +136,8 @@ def vn_edge_layer(x, out, name, k=16, coords=None, train=False):
 def _pool_edge_planes(f, n, k):
     """(B, 3, C, N*K) -> mean over K -> (B, 3, C, N)."""
     b, _, c, _ = f.shape
-    return f.reshape(b, 3, c, n, k).mean(axis=-1)
+    acc = jnp.promote_types(f.dtype, jnp.float32)
+    return f.reshape(b, 3, c, n, k).mean(axis=-1, dtype=acc).astype(f.dtype)
 
 
 def scalar_edge_trunk(xyz, train: bool = False):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from vn_pointcloudcompletion_tpu.models.common import BatchNormCh, ConvCh, DenseTorch
 from vn_pointcloudcompletion_tpu.nn.attention import VNBlock, to_vn
+from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
 from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinear,
     VNLinearAndLeakyReLU,
@@ -580,6 +581,12 @@ class VNFoldingNet(nn.Module):
 
         point_feat = _dense_layout(coarse, grid_size)[:, :, None]  # (B, 3, 1, Nd)
         glob_planes = jnp.swapaxes(feature_global, 1, 2)  # (B, 3, latent, 1)
+        # under the bf16 policy the whole fold chain (its Pallas layers
+        # inherit x.dtype for every (B, 3, C, Nd) buffer) must not be
+        # promoted to f32 by the f32 seed/coarse constants; the final
+        # residual add below stays in the coarse points' full precision
+        seed = activation_dtype(seed)
+        glob_planes = activation_dtype(glob_planes)
         # split first layer: global latent contracted once per sample instead
         # of broadcasting a (B, latent+2, 3, Nd) concat (see _VNSplitFoldLayer)
         # On TPU at dense sizes the whole layer runs as Pallas kernels
@@ -590,7 +597,7 @@ class VNFoldingNet(nn.Module):
             else _VNSplitFoldLayer
         )
         f = split_cls(256, name="final_conv_0")(
-            glob_planes, seed, point_feat, train=train
+            glob_planes, seed, activation_dtype(point_feat), train=train
         )
         # final_conv_1's (B, 3, 256, Nd) output exists only to be contracted
         # by final_conv_2's 1-channel VNLinear: pass that kernel in so the
@@ -600,7 +607,7 @@ class VNFoldingNet(nn.Module):
         f = VNLinearLeakyReLU(256, layout="plane", name="final_conv_1")(
             f, train=train, project_out=w2
         )  # (B, 3, 1, Nd)
-        fine = f + point_feat
+        fine = f.astype(point_feat.dtype) + point_feat
         return fine[:, :, 0].transpose(0, 2, 1)  # (B, Nd, 3)
 
 
@@ -649,10 +656,13 @@ class AttentionVNFoldingNet(nn.Module):
 
         # fold per centre in plane layout: centre features (B, 3, 384, N) are
         # constant across the S grid points (split-matmul, _VNSplitPairFoldLayer)
-        feat = vn_x.transpose(0, 2, 1, 3)  # (B, 3, 384, N)
+        feat = activation_dtype(vn_x.transpose(0, 2, 1, 3))  # (B, 3, 384, N)
         seed = folding_grid_3d(grid_size, extent=1.0)  # (3, S)
         seed = jnp.broadcast_to(seed[None, :, None, None, :], (b, 3, 1, n, s))
-        seed = seed.reshape(b, 3, 1, n * s)
+        # bf16 policy: the seed's f32 would otherwise promote every fold
+        # buffer (the fused layers inherit x.dtype); the residual add onto
+        # the coarse centres below stays full precision
+        seed = activation_dtype(seed.reshape(b, 3, 1, n * s))
 
         pair_cls = _pair_fold_cls(s, n * s)
         h = pair_cls(256, name="vn_folding1_0")(
@@ -674,5 +684,5 @@ class AttentionVNFoldingNet(nn.Module):
         )  # (B, 3, 1, NS)
 
         relative_xyz = fd2[:, :, 0].reshape(b, 3, n, s).transpose(0, 2, 1, 3)
-        rebuild = relative_xyz + coarse[..., None]  # (B, N, 3, S)
+        rebuild = relative_xyz.astype(coarse.dtype) + coarse[..., None]  # (B, N, 3, S)
         return rebuild.transpose(0, 1, 3, 2).reshape(b, n * s, 3)

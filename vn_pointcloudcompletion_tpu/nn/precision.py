@@ -40,3 +40,19 @@ def compute_dtype_scope(dtype):
 
 def from_config_dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def activation_dtype(x):
+    """Cast ``x`` down to the compute dtype when a low-precision policy is on.
+
+    No-op under the default f32 policy (parity/f64 harnesses feed wider
+    dtypes and must pass through untouched).  Used at decoder entries where
+    constants (fold seeds, coarse layouts) are f32 by construction and would
+    otherwise silently promote the whole bandwidth-bound fold chain —
+    their Pallas layers inherit ``x.dtype`` for every activation buffer.
+    """
+    if _COMPUTE_DTYPE == jnp.bfloat16 and x.dtype in (
+        jnp.float32, jnp.float64
+    ):
+        return x.astype(jnp.bfloat16)
+    return x
