@@ -2,7 +2,10 @@
 
 Everything inside one XLA program per step: rotation augmentation (sampled
 from the step PRNG key), forward, loss, backward, Adam update, and BN stat
-update.  The input batch buffers are donated so XLA reuses their HBM.
+update.  Batch buffers are NOT donated: they can never alias the outputs
+(state pytree + scalar metrics), so donation only produced "donated buffers
+were not usable" warnings (the parallel step donates its state instead —
+parallel/train_parallel.py).
 
 Rotation augmentation applies the *same* rotation to partial and complete
 clouds and forwards it to the decoder for seed rotation (train.py:130-143).
@@ -77,7 +80,7 @@ def make_train_step(config: Config, jit: bool = True):
         return state, metrics
 
     if jit:
-        return jax.jit(train_step, donate_argnums=(1, 2))
+        return jax.jit(train_step)
     return train_step
 
 

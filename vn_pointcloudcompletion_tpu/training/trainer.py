@@ -5,8 +5,8 @@ Surface parity: per-batch and per-epoch tensorboardX scalars
 l1_cd sums averaged over evaluated samples, one visualization PNG per epoch,
 best+last checkpoints keyed on val total CD (train.py:252-265).
 
-TPU-native structure: the step is one jitted XLA program with donated batch
-buffers; batches stream through the double-buffered device prefetcher; with a
+TPU-native structure: the step is one jitted XLA program; batches stream
+through the double-buffered device prefetcher; with a
 device mesh the same step runs data-parallel via shardings (parallel/).
 
 Deliberately NOT replicated from the reference: the dead per-epoch ``alpha``
