@@ -164,6 +164,22 @@ def main() -> int:
         and (np.sort(np.asarray(idx), -1) == np.sort(np.asarray(ri), -1)).all(),
     ))
 
+    # 5b) fused distance + k-extraction kernel vs sqdist -> lax.top_k
+    from vn_pointcloudcompletion_tpu.ops.knn import pairwise_sqdist
+    from vn_pointcloudcompletion_tpu.ops.knn_pallas import knn_min_pallas
+
+    q = jnp.asarray(rng.standard_normal((2, 700, 96)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2, 1500, 96)), jnp.float32)
+    fv, fi, nd2, ri2 = jax.jit(lambda q, r: (
+        *knn_min_pallas(q, r, 8, interp),
+        *jax.lax.top_k(-pairwise_sqdist(q, r), 8)))(q, r)
+    results.append(_check(
+        "knn_min_pallas",
+        np.allclose(np.asarray(fv), np.asarray(-nd2), atol=1e-3)
+        and (np.sort(np.asarray(fi), -1)
+             == np.sort(np.asarray(ri2), -1)).all(),
+    ))
+
     # 6) FPS kernel vs the jnp greedy loop
     import vn_pointcloudcompletion_tpu.ops.fps_pallas as fp
     from vn_pointcloudcompletion_tpu.ops.fps import furthest_point_sample

@@ -174,9 +174,10 @@ def _grad_side(g_self, other, g_other, i_self, i_other, self_pts):
     ``d_self = |self - other[i_self]|^2`` and the cross term from the other
     direction's matches ``i_other`` scattered back onto ``self``.
 
-    Rejected-with-data alternative: a Pallas sweep computing both the gather
-    and the moment scatter as (TN, TMC) masked dots
-    (ops/chamfer_pallas_bwd.py) measures dense bwd 19.4 ms vs 10.4 ms here —
+    Rejected-with-data alternative (kernel pruned in round 3 after the
+    measurement stood for two rounds): a Pallas sweep computing both the
+    gather and the moment scatter as (TN, TMC) masked dots
+    measured dense bwd 19.4 ms vs 10.4 ms here —
     the 8-output-lane MXU dots run at ~6% lane utilisation, the same failure
     mode as the rejected MXU cross-term chamfer forward.  XLA's gather plus
     ONE widened scatter stays the fastest known formulation.

@@ -1,8 +1,9 @@
 """Fused bidirectional chamfer: one pass over the distance tiles updates both
 directions' minima.
 
-The one-sided kernel (chamfer_pallas.py) computes the N x M distances twice —
-once per direction.  Here each (TN, TM) tile is computed once; row minima
+A one-sided predecessor (pruned in round 3) computed the N x M distances
+twice — once per direction.  Here each (TN, TM) tile is computed once; row
+minima
 (x -> y) carry through the in-kernel loop, column minima (y -> x) accumulate
 across x-tile programs directly in the VMEM-resident (1, M) output block
 (sequential x-tile grid axis — free on a one-TensorCore chip).  ~1.6x fewer
