@@ -279,8 +279,12 @@ class TestGraphFeatureParity:
                                                atol=1e-6)
 
 
+@pytest.mark.slow
 class TestModelParity:
     """Full-pipeline wiring parity (BASELINE 'match under identical seeds' bar).
+
+    Slow tier: the class fixture transfuses the full torch reference model
+    (~3 min); the fast tier keeps the per-layer torch pins above.
 
     Transfuses reference ``VN_PointNet`` + ``VN_FoldingNet`` weights
     (models/pcn.py:110-184,319-389 — no CUDA op on the num_coarse=1024 path)

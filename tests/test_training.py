@@ -51,6 +51,7 @@ def make_batch(rng, b=2, n=256, m=512):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self, rng):
         config = tiny_config(lr=3e-4)
         model = build_model(config)
@@ -170,6 +171,7 @@ class TestCheckpoint:
 
 
 class TestParallel:
+    @pytest.mark.slow
     def test_data_parallel_matches_single_device(self, rng):
         from vn_pointcloudcompletion_tpu.parallel import (
             make_mesh, make_parallel_steps, shard_state,
