@@ -39,6 +39,29 @@ class TestChamferLosses:
             cd_loss_l2(x, y), d1.mean() + d2.mean(), rtol=1e-5
         )
 
+    def test_l1_grad_finite_at_exact_match(self, rng):
+        # the 448-contract appends FPS-sampled INPUT points to the coarse
+        # output, so predicted points coincide with gt to machine zero;
+        # d/dd sqrt(d) = inf there would NaN every parameter in one step
+        # (losses._sqrt0 pins the subgradient to 0)
+        import jax
+        import jax.numpy as jnp
+
+        y = jnp.asarray(rng.standard_normal((1, 40, 3)).astype(np.float32))
+        x = y[:, :20]  # every predicted point matches a gt point exactly
+
+        g = jax.grad(lambda x: cd_loss_l1(x, y))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+        from vn_pointcloudcompletion_tpu.metrics.losses import calc_cd
+
+        def cdp(x):
+            cd_p, _ = calc_cd(x, y)
+            return cd_p.sum()
+
+        g2 = jax.grad(cdp)(x)
+        assert np.isfinite(np.asarray(g2)).all()
+
     def test_batch_sums(self, rng):
         x = rng.standard_normal((3, 50, 3)).astype(np.float32)
         y = rng.standard_normal((3, 70, 3)).astype(np.float32)

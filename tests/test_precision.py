@@ -69,3 +69,43 @@ class TestBF16:
         assert np.isfinite(float(metrics["total"]))
         for leaf in jax.tree.leaves(state.params):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestActivationDtype:
+    def test_noop_under_default_f32_policy(self):
+        from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
+
+        x32 = jnp.zeros((2, 3), jnp.float32)
+        x64 = np.zeros((2, 3), np.float64)  # f64 parity harnesses pass through
+        assert activation_dtype(x32).dtype == jnp.float32
+        assert activation_dtype(jnp.bfloat16(x32)).dtype == jnp.bfloat16
+        assert np.asarray(activation_dtype(x64)).dtype == np.float64
+
+    def test_casts_down_under_bf16_policy(self):
+        from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
+
+        with compute_dtype_scope(jnp.bfloat16):
+            assert activation_dtype(jnp.zeros((2,), jnp.float32)).dtype \
+                == jnp.bfloat16
+            # integer index tensors must never be touched
+            assert activation_dtype(jnp.zeros((2,), jnp.int32)).dtype \
+                == jnp.int32
+
+    def test_attention_decoder_bf16_outputs_f32(self, rng):
+        # the fold-seed constants are f32 by construction; under the bf16
+        # policy the decoder must cast them at entry (not promote the fold
+        # chain) and still hand back f32 points for the residual add
+        from vn_pointcloudcompletion_tpu.models.pcn import AttentionVNFoldingNet
+
+        coarse = jnp.asarray(
+            rng.standard_normal((1, 448, 3)).astype(np.float32) * 0.2)
+        feat = jnp.asarray(
+            rng.standard_normal((1, 2048, 3, 1)).astype(np.float32))
+        with compute_dtype_scope(jnp.bfloat16):
+            model = AttentionVNFoldingNet(num_coarse=448, latent_dim=2048)
+            variables = model.init(jax.random.key(0), coarse, feat,
+                                   train=False)
+            dense = model.apply(variables, coarse, feat, train=False)
+        assert dense.dtype == jnp.float32
+        assert dense.shape == (1, 448 * 64, 3)
+        assert np.isfinite(np.asarray(dense)).all()
