@@ -87,6 +87,33 @@ class TestTrainStep:
         state, metrics = step(state, p, c, jax.random.key(1))
         assert float(metrics["dense"]) > 0
 
+    @pytest.mark.slow
+    def test_vn_pointr_pipeline_train_step(self, rng):
+        """Optimizer-level e2e for the vn_pointr pipeline (VNPCTransformer
+        encoder + AttentionVNFoldingNet decoder; reference model.py:23-24)
+        — previously covered only at model level.  One jitted update must
+        produce finite coarse/dense losses and actually move parameters."""
+        config = tiny_config(
+            enc_type="vn_pointr", dec_type="attention_vn_foldingnet",
+            num_coarse=448, only_coarse=False, lr=1e-4, batch_size=1,
+        )
+        model = build_model(config)
+        p, c = make_batch(rng, b=1, n=600, m=2048)
+        state = create_train_state(model, config, 10, jax.random.key(0), p)
+        step = make_train_step(config, jit=True)
+        new_state, metrics = step(state, p, c, jax.random.key(1))
+        assert np.isfinite(float(metrics["coarse"]))
+        assert np.isfinite(float(metrics["dense"]))
+        moved = jax.tree_util.tree_reduce(
+            lambda acc, pair: acc + float(jnp.sum(jnp.abs(pair))),
+            jax.tree_util.tree_map(
+                lambda a, b: a.astype(jnp.float32) - b.astype(jnp.float32),
+                state.params, new_state.params,
+            ),
+            0.0,
+        )
+        assert moved > 0.0
+
     def test_dcd_coarse_loss(self, rng):
         config = tiny_config(coarse_loss="dcd")
         model = build_model(config)
