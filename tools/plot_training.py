@@ -46,10 +46,39 @@ def parse_log(path: str):
     return train, val, best
 
 
+def compare(exp_dirs, labels, out):
+    """Overlay validation-total curves from several runs (e.g. f32 vs bf16
+    at identical config/seed) on one log-scale plot."""
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for d, lab in zip(exp_dirs, labels):
+        _, val, _ = parse_log(os.path.join(d, "train.log"))
+        ep = sorted(val)
+        ax.plot(ep, [val[e][2] for e in ep], label=lab, linewidth=1.2)
+    ax.set_yscale("log")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("val total CD-L1 x 1e3")
+    ax.set_title("validation loss")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("exp_dir")
+    ap.add_argument("--compare", nargs="+", default=None, metavar="EXP_DIR",
+                    help="overlay these runs' val curves with exp_dir's")
+    ap.add_argument("--labels", nargs="+", default=None)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.compare:
+        dirs = [args.exp_dir] + args.compare
+        labels = args.labels or [os.path.basename(os.path.normpath(d))
+                                 for d in dirs]
+        compare(dirs, labels, args.out or "val_compare.png")
+        return
     log_path = os.path.join(args.exp_dir, "train.log")
     train, val, best = parse_log(log_path)
 
