@@ -238,9 +238,13 @@ def main():
             capture_output=True, text=True, timeout=900, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"mesh_bench rc={out.returncode}: {out.stderr.strip()[-200:]}"
+            )
         extras["mesh_scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:
-        extras["mesh_scaling"] = {"error": f"{type(e).__name__}: {e}"[:160]}
+        extras["mesh_scaling"] = {"error": f"{type(e).__name__}: {e}"[:360]}
     print(
         json.dumps(
             {

@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -68,7 +69,9 @@ def main():
                 base += args.seed
                 for i in range(count):
                     model_id = f"{cat}_{split}_{i:04d}"
-                    seed = base + i * 7 + hash(cat) % 1000
+                    # crc32, not hash(): str hashes are salted per process
+                    # (PYTHONHASHSEED), which would make --seed unreproducible
+                    seed = base + i * 7 + zlib.crc32(cat.encode()) % 1000
                     v, f = generate(cat, seed)
                     obj = os.path.join(tmp, f"{model_id}.obj")
                     write_obj(obj, v, f)

@@ -53,6 +53,15 @@ class PCNNet(nn.Module):
                 return None
             return t.astype(jnp.promote_types(t.dtype, jnp.float32))
 
+        if self.pointr_decoder and self.enc_type != "vn_pointr":
+            raise ValueError(
+                "pointr_decoder=True requires enc_type='vn_pointr' (it is "
+                "that encoder's transformer decoder stack)"
+            )
+        # only_coarse discards the fine output, so never pay for the 8-block
+        # decoder stack underneath it
+        use_pointr_dec = self.pointr_decoder and not self.only_coarse
+
         if self.enc_type == "dgcnn_fps":
             encoder = DGCNNfps(self.num_coarse, latent_dim=1024, name="encoder")
         elif self.enc_type == "vn_dgcnn_fps":
@@ -68,7 +77,7 @@ class PCNNet(nn.Module):
             encoder = VNPCTransformer(
                 embed_dim=384, enc_depth=6, dec_depth=8, num_query=224,
                 knn_layer=1, dgcnn="vn_dgcnn", trans="vn_trans",
-                only_coarse=not self.pointr_decoder, name="encoder",
+                only_coarse=not use_pointr_dec, name="encoder",
             )
         else:
             raise ValueError(f"encoder type {self.enc_type} not supported")
@@ -76,7 +85,7 @@ class PCNNet(nn.Module):
         coarse, feature_global = encoder(xyz, train=train)
 
         query_feats = None
-        if self.pointr_decoder and self.enc_type == "vn_pointr":
+        if use_pointr_dec:
             # decoder-stack output: (global_feature, refined query features)
             feature_global, query_feats = feature_global
 

@@ -262,7 +262,6 @@ class VNLinearLeakyReLU(nn.Module):
     @nn.compact
     def __call__(
         self, x, train: bool = False, project_out=None, edge_idx=None,
-        pool_k=None,
     ):
         """``project_out``: optional (1, C_out) kernel of a trailing
         1-channel VNLinear (owned by the CALLER's scope) — on the fused-layer

@@ -40,6 +40,8 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int):
 
     query: (B, N, D), ref: (B, M, D).  Returns ``(dists, idx)`` each (B, N, K),
     sorted ascending by distance (matching KNN_CUDA's sorted output).
+    Distances are always float32 regardless of input dtype or which kernel
+    path was eligible (all paths accumulate pairwise distances in f32).
 
     On TPU the whole op runs as one VMEM-resident Pallas kernel
     (ops/knn_pallas.py::knn_min_pallas): the (B, N, M) distance matrix is
@@ -53,12 +55,11 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int):
 
         if knn_pallas.fused_eligible(ref.shape[1], k, ref.shape[2]):
             vals, idx = knn_pallas.knn_min_pallas(query, ref, k)
-            return vals.astype(query.dtype), idx
+            return vals.astype(jnp.float32), idx
         d = pairwise_sqdist(query, ref)
         if knn_pallas.eligible(d.shape[-1], k):
             vals, idx = knn_pallas.topk_min_pallas(d, k)
-            # kernel accumulates in f32; match the lax.top_k branch's dtype
-            return vals.astype(d.dtype), idx
+            return vals.astype(jnp.float32), idx
     else:
         d = pairwise_sqdist(query, ref)
     neg_d, idx = jax.lax.top_k(-d, k)

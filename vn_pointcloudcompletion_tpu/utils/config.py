@@ -58,6 +58,9 @@ class Config:
     num_workers: int = 8
 
     # bookkeeping
+    # snapshot schema version: bumped to 2 when clip_gradient went live
+    # (earlier snapshots carried a no-op default of 0.5; see load_config)
+    config_version: int = 2
     name: str = "experiment"
     run_name: str = ""
     exp_dir: str = ""
@@ -120,7 +123,24 @@ def load_config(experiment_name: Optional[str] = None, root: str = ".") -> Confi
     else:
         config_path = os.path.join(root, output_dir(), experiment_name, "config.json")
     with open(config_path) as f:
-        cfg = Config.from_dict(json.load(f))
+        raw = json.load(f)
+    cfg = Config.from_dict(raw)
+    if (
+        experiment_name is not None
+        and "config_version" not in raw
+        and raw.get("clip_gradient") == 0.5
+    ):
+        # Snapshot written while clip_gradient was an accepted-but-unused
+        # field with default 0.5.  Resuming must not silently switch on
+        # clipping mid-trajectory — coerce to the run's actual behaviour.
+        import logging
+
+        logging.getLogger("train").warning(
+            "config.json snapshot predates live gradient clipping; "
+            "clip_gradient=0.5 was a no-op when this run trained — "
+            "coercing to 0.0 (set config_version>=2 to clip on resume)"
+        )
+        cfg.clip_gradient = 0.0
     if "DATA_PATH" in os.environ:
         cfg.data_path = os.environ["DATA_PATH"]
     return cfg
