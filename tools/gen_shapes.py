@@ -179,10 +179,146 @@ def make_table(rng):
     return _merge(parts)
 
 
+def make_cabinet(rng):
+    w = rng.uniform(0.6, 1.0)
+    d = rng.uniform(0.3, 0.5)
+    h = rng.uniform(0.7, 1.2)
+    t = 0.02
+    parts = [_box([0, 0, h / 2], [w, d, h])]
+    # front door/drawer panels, slightly proud of the carcass
+    n_panels = rng.integers(1, 4)
+    gap = 0.012
+    pw = (w - gap * (n_panels + 1)) / n_panels
+    for i in range(n_panels):
+        x = -w / 2 + gap + pw / 2 + i * (pw + gap)
+        parts.append(_box([x, d / 2 + t / 2, h / 2],
+                          [pw, t, h - 2 * gap]))
+        # handle knob
+        parts.append(_cylinder([x + pw * 0.3, d / 2 + t, h * 0.55],
+                               [x + pw * 0.3, d / 2 + t + 0.03, h * 0.55],
+                               0.008, nseg=8))
+    if rng.random() < 0.5:  # plinth base
+        parts.append(_box([0, 0, -0.03], [w * 0.96, d * 0.96, 0.06]))
+    else:  # short legs
+        for sx in (+1, -1):
+            for sy in (+1, -1):
+                x, y = sx * (w / 2 - 0.05), sy * (d / 2 - 0.05)
+                parts.append(_cylinder([x, y, -0.08], [x, y, 0], 0.015))
+    return _merge(parts)
+
+
+def make_car(rng):
+    L = rng.uniform(0.9, 1.2)           # body length
+    w = rng.uniform(0.38, 0.5)
+    body_h = rng.uniform(0.16, 0.24)
+    cabin_l = L * rng.uniform(0.4, 0.55)
+    cabin_h = rng.uniform(0.12, 0.18)
+    wheel_r = rng.uniform(0.07, 0.1)
+    z0 = wheel_r * 0.9                  # body bottom above ground
+    parts = [
+        _box([0, 0, z0 + body_h / 2], [L, w, body_h]),
+        # cabin, set slightly rearward with a windshield slope
+        _box([-L * rng.uniform(0.02, 0.12), 0, z0 + body_h + cabin_h / 2],
+             [cabin_l, w * 0.85, cabin_h], rot=_rot_y(rng.uniform(0.0, 0.08))),
+    ]
+    ax_f, ax_r = L * 0.32, -L * 0.34    # axle positions
+    ww = w * 0.12                       # wheel width
+    for x in (ax_f, ax_r):
+        for s in (+1, -1):
+            y = s * (w / 2 + ww / 2 - 0.01)
+            parts.append(_cylinder([x, y - ww / 2, wheel_r],
+                                   [x, y + ww / 2, wheel_r], wheel_r, nseg=16))
+    if rng.random() < 0.3:  # rear spoiler
+        parts.append(_box([-L / 2 + 0.04, 0, z0 + body_h + 0.06],
+                          [0.06, w * 0.9, 0.015]))
+    return _merge(parts)
+
+
+def make_lamp(rng):
+    base_r = rng.uniform(0.1, 0.18)
+    pole_h = rng.uniform(0.5, 1.0)
+    shade_h = rng.uniform(0.15, 0.3)
+    shade_r0 = rng.uniform(0.08, 0.14)   # shade top radius
+    shade_r1 = shade_r0 * rng.uniform(1.4, 2.2)  # flared bottom
+    parts = [
+        _cylinder([0, 0, 0], [0, 0, 0.025], base_r, nseg=18),
+        _cylinder([0, 0, 0.02], [0, 0, pole_h], rng.uniform(0.012, 0.022)),
+        # flared shade (tapered cylinder, open look doesn't matter for sampling)
+        _cylinder([0, 0, pole_h - 0.02], [0, 0, pole_h - 0.02 + shade_h],
+                  (shade_r1, shade_r0), nseg=18),
+    ]
+    if rng.random() < 0.4:  # bulb under the shade
+        parts.append(_ellipsoid([0, 0, pole_h - 0.04], [0.035, 0.035, 0.05]))
+    if rng.random() < 0.3:  # arched desk-lamp arm instead of straight pole look
+        elbow = pole_h * rng.uniform(0.55, 0.75)
+        parts.append(_cylinder([0, 0, elbow], [0.15, 0, pole_h - 0.02],
+                               0.012))
+    return _merge(parts)
+
+
+def make_sofa(rng):
+    w = rng.uniform(0.9, 1.5)           # width (y)
+    d = rng.uniform(0.45, 0.6)          # depth (x)
+    seat_h = rng.uniform(0.18, 0.26)
+    back_h = rng.uniform(0.3, 0.45)
+    arm_h = seat_h + rng.uniform(0.1, 0.18)
+    arm_w = rng.uniform(0.07, 0.12)
+    parts = [
+        _box([0, 0, seat_h / 2 + 0.04], [d, w, seat_h]),          # seat base
+        _box([-d / 2 + 0.05, 0, seat_h + back_h / 2],
+             [0.1, w, back_h], rot=_rot_y(rng.uniform(0.0, 0.1))),  # backrest
+    ]
+    for s in (+1, -1):  # armrests
+        parts.append(_box([0, s * (w / 2 + arm_w / 2 - 0.01), arm_h / 2 + 0.04],
+                          [d, arm_w, arm_h]))
+    n_cush = rng.integers(1, 4)
+    cw = w / n_cush
+    for i in range(n_cush):  # seat cushions
+        y = -w / 2 + cw / 2 + i * cw
+        parts.append(_box([0.03, y, seat_h + 0.05],
+                          [d * 0.9, cw * 0.92, 0.09]))
+    for sx in (+1, -1):  # stub legs
+        for sy in (+1, -1):
+            x, y = sx * (d / 2 - 0.05), sy * (w / 2 - 0.05)
+            parts.append(_cylinder([x, y, 0], [x, y, 0.05], 0.02, nseg=8))
+    return _merge(parts)
+
+
+def make_vessel(rng):
+    L = rng.uniform(0.9, 1.3)           # hull length
+    w = rng.uniform(0.22, 0.35)
+    hull_h = rng.uniform(0.1, 0.16)
+    parts = [
+        # hull: ellipsoid squashed vertically, bow taper from the x-radius
+        _ellipsoid([0, 0, hull_h / 2], [L / 2, w / 2, hull_h], nu=20),
+        # deck slab
+        _box([0, 0, hull_h + 0.01], [L * 0.7, w * 0.8, 0.02]),
+    ]
+    if rng.random() < 0.7:  # deckhouse / cabin
+        cab_l = L * rng.uniform(0.2, 0.35)
+        cab_h = rng.uniform(0.08, 0.14)
+        parts.append(_box([-L * rng.uniform(0.0, 0.1), 0,
+                           hull_h + 0.02 + cab_h / 2],
+                          [cab_l, w * 0.6, cab_h]))
+    if rng.random() < 0.5:  # mast
+        mx = L * rng.uniform(0.05, 0.25)
+        mh = rng.uniform(0.3, 0.6)
+        parts.append(_cylinder([mx, 0, hull_h], [mx, 0, hull_h + mh], 0.01))
+        if rng.random() < 0.5:  # boom
+            parts.append(_cylinder([mx, 0, hull_h + mh * 0.3],
+                                   [mx - 0.3, 0, hull_h + mh * 0.3], 0.008))
+    return _merge(parts)
+
+
 BUILDERS = {
     "airplane": make_airplane,
+    "cabinet": make_cabinet,
+    "car": make_car,
     "chair": make_chair,
+    "lamp": make_lamp,
+    "sofa": make_sofa,
     "table": make_table,
+    "vessel": make_vessel,
 }
 
 
