@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __graft_entry__ as graft  # noqa: E402
 
 
-def test_dryrun_multichip_in_process():
+@pytest.mark.slow  # ~170 s: full sharded train-step compile; the driver
+def test_dryrun_multichip_in_process():  # also runs this contract each round
     assert len(jax.devices()) >= 8  # conftest provisions the virtual mesh
     graft.dryrun_multichip(8)
 
@@ -33,6 +34,7 @@ def test_dryrun_multichip_subprocess_reexec():
     graft._reexec_on_virtual_cpu_mesh(4)
 
 
+@pytest.mark.slow  # flagship fwd compile; the driver compile-checks entry()
 def test_entry_is_jittable():
     fn, args = graft.entry()
     out = jax.jit(fn).lower(*args).compile()
