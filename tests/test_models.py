@@ -282,6 +282,36 @@ class TestPointrInit:
         with _pytest.raises(ValueError, match="num_coarse=448"):
             model.init(jax.random.key(0), jnp.zeros((1, 600, 3)), train=False)
 
+    def test_pointr_decoder_requires_vn_pointr(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+
+        model = PCNNet(enc_type="vn_pointnet", pointr_decoder=True)
+        with _pytest.raises(ValueError, match="enc_type='vn_pointr'"):
+            model.init(jax.random.key(0), jnp.zeros((1, 600, 3)), train=False)
+
+    def test_pointr_decoder_only_coarse_skips_stack(self, rng):
+        """only_coarse discards the fine output, so pointr_decoder must not
+        instantiate (or run) the 8-block transformer decoder underneath it."""
+        import jax
+        import jax.numpy as jnp
+
+        from vn_pointcloudcompletion_tpu.models.composer import PCNNet
+
+        model = PCNNet(
+            enc_type="vn_pointr", dec_type="attention_vn_foldingnet",
+            num_coarse=448, only_coarse=True, pointr_decoder=True,
+        )
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 256, 3)), train=False
+        )
+        assert "dec_blocks" not in str(
+            jax.tree_util.tree_structure(variables)
+        )
+
 
 class TestScanStack:
     """nn.scan transformer tails must equal the unrolled loop they replaced."""

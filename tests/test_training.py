@@ -170,6 +170,29 @@ class TestOptim:
             np.testing.assert_array_equal(np.asarray(a), b)
 
 
+class TestConfigSnapshots:
+    def test_legacy_snapshot_clip_gradient_coerced(self, tmp_path, monkeypatch):
+        """Snapshots written while clip_gradient was a no-op (default 0.5,
+        no config_version) must not enable clipping when resumed."""
+        import json
+
+        from vn_pointcloudcompletion_tpu.utils.config import load_config
+
+        monkeypatch.setenv("OUTPUT_DIR", str(tmp_path))
+        exp = tmp_path / "old_exp"
+        exp.mkdir()
+        (exp / "config.json").write_text(
+            json.dumps({"clip_gradient": 0.5, "name": "old"})
+        )
+        assert load_config("old_exp", root="/").clip_gradient == 0.0
+
+        (exp / "config.json").write_text(
+            json.dumps({"clip_gradient": 0.5, "config_version": 2,
+                        "name": "new"})
+        )
+        assert load_config("old_exp", root="/").clip_gradient == 0.5
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, rng, tmp_path):
         config = tiny_config()
