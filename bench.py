@@ -179,8 +179,33 @@ def bench_emd_eval(batch_size: int = 8, iters: int = 5, warmup: int = 1):
     return iters / dt * batch_size, iters / dt
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast if the backend is unreachable (e.g. a dead axon tunnel).
+
+    Initialising a tunnelled TPU backend in-process can hang indefinitely;
+    probing device count in a throwaway subprocess bounds that.  Exits
+    non-zero with a clear message so a harness records an infrastructure
+    failure rather than a hang or a fake perf number."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        ok = out.returncode == 0 and int(out.stdout.strip().splitlines()[-1]) > 0
+    except Exception:
+        ok = False
+    if not ok:
+        print("bench.py: JAX backend unreachable (device probe failed/timed "
+              "out) — not a model perf regression", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
     t_start = time.perf_counter()
+    _probe_backend()
     completions_per_sec, steps_per_sec = bench_train_step()
     extras = {}
     # extra pipelines are best-effort: stop adding them when the total run
