@@ -105,6 +105,36 @@ class TestShapeNet:
         assert len(d0) == 2 and len(d1) == 2
         assert set(d0.complete_paths).isdisjoint(d1.complete_paths)
 
+    def test_process_sharding_equal_with_remainder(self, tmp_path):
+        """Uneven shards give processes different batch counts, which would
+        deadlock the epoch-end collective — shards must be truncated equal."""
+        root = str(tmp_path)
+        self._make_dataset(root, "valid", n_models=5)
+        shards = [
+            ShapeNetPCN(root, "valid", process_index=i, process_count=2)
+            for i in range(2)
+        ]
+        assert [len(s) for s in shards] == [2, 2]
+
+    def test_getitem_deterministic_per_epoch_and_thread_safe(self, tmp_path):
+        """__getitem__ runs on a thread pool: draws must be a pure function
+        of (seed, epoch, index), not shared-generator state."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        root = str(tmp_path)
+        self._make_dataset(root, "train", n_models=3)
+        ds = ShapeNetPCN(root, "train", seed=7)
+        seq = [ds[i] for i in range(3)]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            par = list(pool.map(ds.__getitem__, range(3)))
+        for (p1, c1), (p2, c2) in zip(seq, par):
+            np.testing.assert_array_equal(p1, p2)
+            np.testing.assert_array_equal(c1, c2)
+        # a new epoch changes the sampling stream
+        ds.set_epoch(1)
+        p_e1, _ = ds[0]
+        assert not np.array_equal(seq[0][0], p_e1)
+
 
 class TestSampling:
     def test_random_sample_pads_short_clouds(self, rng):

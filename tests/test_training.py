@@ -219,6 +219,28 @@ class TestCheckpoint:
         s2, m2 = step(restored, p, c, jax.random.key(2))
         np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-6)
 
+    def test_mismatched_pair_detected(self, rng, tmp_path):
+        """A crash between the model and optim renames can pair epoch-N
+        params with epoch-(N-1) optimizer state; restore must refuse."""
+        import shutil
+
+        config = tiny_config()
+        model = build_model(config)
+        p, _ = make_batch(rng)
+        state = create_train_state(model, config, 10, jax.random.key(0), p)
+        exp_dir = str(tmp_path)
+        os.makedirs(os.path.join(exp_dir, "models"))
+        os.makedirs(os.path.join(exp_dir, "optimizer"))
+        save_checkpoint(exp_dir, state, epoch=3, best_metrics=0.5,
+                        best_epoch=2, name="last")
+        save_checkpoint(exp_dir, state, epoch=4, best_metrics=0.5,
+                        best_epoch=2, name="next")
+        # simulate the torn pair: epoch-4 model with the epoch-3 optimizer
+        shutil.copy(os.path.join(exp_dir, "models", "model_next.ckpt"),
+                    os.path.join(exp_dir, "models", "model_last.ckpt"))
+        with pytest.raises(RuntimeError, match="pair mismatch"):
+            restore_checkpoint(exp_dir, state, "last")
+
 
 class TestParallel:
     @pytest.mark.slow

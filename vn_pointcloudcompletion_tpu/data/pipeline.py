@@ -44,6 +44,8 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)

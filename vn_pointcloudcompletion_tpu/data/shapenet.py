@@ -83,7 +83,8 @@ class ShapeNetPCN:
         self.dataroot = dataroot
         self.split = split
         self.category = category
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
         with open(os.path.join(dataroot, f"{split}.list")) as f:
             lines = f.read().splitlines()
@@ -91,8 +92,12 @@ class ShapeNetPCN:
             prefix = CAT2ID[category]
             lines = [ln for ln in lines if ln.startswith(prefix)]
 
-        # multi-host: shard the model list per process
-        lines = lines[process_index::process_count]
+        # multi-host: shard the model list per process.  Truncate to equal
+        # shard sizes — uneven shards give processes different batch counts,
+        # and the extra hosts would enter a collective at epoch end that the
+        # others never join (silent distributed deadlock).
+        per_proc = len(lines) // max(process_count, 1)
+        lines = lines[process_index::process_count][:per_proc]
 
         self.partial_paths: List[str] = []
         self.complete_paths: List[str] = []
@@ -113,12 +118,24 @@ class ShapeNetPCN:
     def __len__(self) -> int:
         return len(self.complete_paths)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the sampling stream (view pick / subsampling) per epoch."""
+        self._epoch = epoch
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        # Per-call generator keyed on (seed, epoch, index): __getitem__ runs
+        # on BatchLoader's thread pool, and np.random.Generator is not
+        # thread-safe — a shared generator races its bit-generator state.
+        # This is also what makes sampling reproducible regardless of
+        # worker scheduling order.
+        rng = np.random.default_rng(
+            (self._seed * 1_000_003 + self._epoch) * 2_654_435_761 + index
+        )
         partial_path = self.partial_paths[index]
         if self.split == "train":
-            partial_path = partial_path.format(int(self._rng.integers(0, 8)))
-        partial = random_sample(read_ply_points(partial_path), N_PARTIAL, self._rng)
+            partial_path = partial_path.format(int(rng.integers(0, 8)))
+        partial = random_sample(read_ply_points(partial_path), N_PARTIAL, rng)
         complete = random_sample(
-            read_ply_points(self.complete_paths[index]), N_COMPLETE, self._rng
+            read_ply_points(self.complete_paths[index]), N_COMPLETE, rng
         )
         return partial.astype(np.float32), complete.astype(np.float32)

@@ -232,9 +232,11 @@ def _knn_bwd(k, interpret, res, cts):
     q, r, idx = res
     dvals, _ = cts
     g = dvals.astype(jnp.float32)                       # (B, N, K)
+    from vn_pointcloudcompletion_tpu.ops.knn import gather_neighbors
+
     qf = q.astype(jnp.float32)
     rf = r.astype(jnp.float32)
-    r_nn = gather_rows(rf, idx)                         # (B, N, K, D)
+    r_nn = gather_neighbors(rf, idx)                    # (B, N, K, D)
     diff = qf[:, :, None, :] - r_nn                     # q_n - r_{idx}
     dq = 2.0 * jnp.sum(g[..., None] * diff, axis=2)
     b, n, kk = idx.shape
@@ -245,14 +247,6 @@ def _knn_bwd(k, interpret, res, cts):
     )(jnp.zeros((b, m, r.shape[2]), jnp.float32), idx.reshape(b, n * kk),
       contrib)
     return dq.astype(q.dtype), dr.astype(r.dtype)
-
-
-def gather_rows(feats, idx):
-    """feats: (B, M, D), idx: (B, N, K) -> (B, N, K, D)."""
-    b, m, d = feats.shape
-    n, k = idx.shape[1], idx.shape[2]
-    out = jnp.take_along_axis(feats, idx.reshape(b, n * k)[:, :, None], axis=1)
-    return out.reshape(b, n, k, d)
 
 
 knn_min_pallas.defvjp(_knn_fwd, _knn_bwd)

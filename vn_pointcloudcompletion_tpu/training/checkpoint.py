@@ -32,6 +32,9 @@ def save_checkpoint(exp_dir: str, state, epoch: int, best_metrics: float,
         {
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
+            # pair marker: restore validates model/optim come from the same
+            # epoch (a crash between the two renames could mismatch them)
+            "epoch": int(epoch),
         }
     )
     optim_blob = flax.serialization.msgpack_serialize(
@@ -45,8 +48,16 @@ def save_checkpoint(exp_dir: str, state, epoch: int, best_metrics: float,
             "best_epoch": int(best_epoch),
         }
     )
-    _atomic_write(os.path.join(exp_dir, "models", f"model_{name}.ckpt"), model_blob)
-    _atomic_write(os.path.join(exp_dir, "optimizer", f"optim_{name}.ckpt"), optim_blob)
+    model_path = os.path.join(exp_dir, "models", f"model_{name}.ckpt")
+    optim_path = os.path.join(exp_dir, "optimizer", f"optim_{name}.ckpt")
+    # write both tmps before either rename: shrinks the mismatch window to
+    # the instant between the two renames, which the epoch markers catch
+    with open(model_path + ".tmp", "wb") as f:
+        f.write(model_blob)
+    with open(optim_path + ".tmp", "wb") as f:
+        f.write(optim_blob)
+    os.replace(model_path + ".tmp", model_path)
+    os.replace(optim_path + ".tmp", optim_path)
 
 
 def restore_checkpoint(exp_dir: str, state, name: str = "last"):
@@ -59,6 +70,13 @@ def restore_checkpoint(exp_dir: str, state, name: str = "last"):
         model_dict = flax.serialization.msgpack_restore(f.read())
     with open(optim_path, "rb") as f:
         optim_dict = flax.serialization.msgpack_restore(f.read())
+    model_epoch = model_dict.get("epoch")  # absent in pre-marker checkpoints
+    if model_epoch is not None and int(model_epoch) != int(optim_dict["epoch"]):
+        raise RuntimeError(
+            f"checkpoint pair mismatch: model_{name} is epoch {model_epoch} "
+            f"but optim_{name} is epoch {optim_dict['epoch']} (crash between "
+            "saves?) — resume from a numbered checkpoint or 'best'"
+        )
     params = flax.serialization.from_state_dict(state.params, model_dict["params"])
     batch_stats = flax.serialization.from_state_dict(
         state.batch_stats, model_dict["batch_stats"]

@@ -122,7 +122,14 @@ def train(config: Config, resume: bool = False,
     sample = jnp.zeros((config.batch_size, n_partial, 3), jnp.float32)
     state = create_train_state(model, config, steps_per_epoch, init_rng, sample)
 
-    if config.enc_pretrained != "none" and os.path.exists(config.enc_pretrained):
+    if config.enc_pretrained != "none":
+        if not os.path.exists(config.enc_pretrained):
+            # make_optimizer freezes the encoder whenever enc_pretrained is
+            # set — silently skipping a typo'd path would train a frozen
+            # RANDOM encoder for the whole run
+            raise FileNotFoundError(
+                f"enc_pretrained checkpoint not found: {config.enc_pretrained}"
+            )
         state = load_pretrained_encoder(
             state, config.enc_pretrained, enc_type=config.enc_type
         )
