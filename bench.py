@@ -22,51 +22,12 @@ import numpy as np
 
 def bench_train_step(batch_size: int = 16, iters: int = 20, warmup: int = 3,
                      dtype: str = "bfloat16"):
-    from vn_pointcloudcompletion_tpu.models.composer import build_model
-    from vn_pointcloudcompletion_tpu.nn.precision import (
-        from_config_dtype,
-        set_compute_dtype,
+    """Flagship headline pipeline — one definition of the timing protocol
+    (bench_pipeline) serves the headline and the extras alike."""
+    return bench_pipeline(
+        "vn_pointnet", "vn_foldingnet", 1024, 16384,
+        batch_size=batch_size, iters=iters, warmup=warmup, dtype=dtype,
     )
-    from vn_pointcloudcompletion_tpu.training.state import create_train_state
-    from vn_pointcloudcompletion_tpu.training.steps import make_train_step
-    from vn_pointcloudcompletion_tpu.utils.config import Config
-
-    set_compute_dtype(from_config_dtype(dtype))
-    config = Config.from_dict(
-        dict(
-            enc_type="vn_pointnet", dec_type="vn_foldingnet",
-            num_coarse=1024, latent_dim=2048, only_coarse=False,
-            batch_size=batch_size, lr=1e-4, rotation="so3", dtype=dtype,
-        )
-    )
-    model = build_model(config)
-    rng = np.random.default_rng(0)
-    partial = jnp.asarray(rng.standard_normal((batch_size, 2048, 3)), jnp.float32) * 0.2
-    complete = jnp.asarray(
-        rng.standard_normal((batch_size, 16384, 3)), jnp.float32) * 0.2
-
-    state = create_train_state(model, config, 100, jax.random.key(0), partial)
-    # non-donated bench step so the same buffers can be reused every iter
-    step_fn = make_train_step(config, jit=False)
-    step = jax.jit(step_fn)
-
-    key = jax.random.key(1)
-    for _ in range(warmup):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, partial, complete, k)
-    float(metrics["total"])  # device->host read: the only reliable sync here
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, partial, complete, k)
-    # all iters chain through `state`; one forced host read syncs the lot
-    float(metrics["total"])
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = iters / dt
-    completions_per_sec = steps_per_sec * batch_size
-    return completions_per_sec, steps_per_sec
 
 
 def bench_pipeline(enc_type, dec_type, num_coarse, n_complete,

@@ -49,8 +49,9 @@ def main(argv=None):
                         help="test: evaluate the 8 novel (unseen) categories"
                              " (reference test.py:19, branch commented out)")
     parser.add_argument("--mesh", type=int, default=None,
-                        help="data-parallel over N devices (0 = all "
-                             "available; default: single device)")
+                        help="train/overfit only: data-parallel over N "
+                             "devices (0 = all available; default: single "
+                             "device)")
     parser.add_argument("command", choices=["train", "overfit", "test"])
     args = parser.parse_args(argv)
 
@@ -62,6 +63,11 @@ def main(argv=None):
     )
 
     configure_logging()
+
+    if args.command == "test" and not args.resume:
+        # without --resume this would create a fresh empty experiment dir
+        # and then crash in evaluate() on the missing checkpoint
+        parser.error("test requires --resume with -n <existing experiment>")
 
     branching = args.from_epoch not in (0, "0", None, "")
     if args.resume:
@@ -115,13 +121,20 @@ def main(argv=None):
 
             mesh = make_mesh(jax.devices()[:n_dev])
         if config.overfit:
-            # overfit: single repeated batch, useful as a correctness probe
+            # overfit: single repeated batch, useful as a correctness probe.
+            # Forces the synthetic dataset — the sample-count extras below
+            # are only read on that branch (trainer.build_datasets), so on
+            # shapenet this command would silently be a full training run.
+            config.dataset = "synthetic"
             config.extra["synthetic_train_samples"] = config.batch_size
             config.extra["synthetic_val_samples"] = config.batch_size
         train(config, resume=args.resume, mesh=mesh)
     else:
         from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
 
+        if args.mesh is not None:
+            print("warning: --mesh applies to train/overfit only; "
+                  "test runs single-device", file=sys.stderr)
         categories = None
         if args.novel:
             from vn_pointcloudcompletion_tpu.data.shapenet import (

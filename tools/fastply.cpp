@@ -151,9 +151,13 @@ float* fastply_read_points(const char* path, int64_t* out_n) {
     if (std::fread(data.data(), 1, data.size(), f) != data.size()) {
       std::free(out); std::fclose(f); return nullptr;
     }
+    // all three props must be f32: the memcpy covers y and z too, so a
+    // double y/z would be silently reinterpreted as garbage floats
     const bool fast_path =
-        !big_endian && props[xi].is_float && props[xi].size == 4 &&
-        yi == xi + 1 && zi == xi + 2;
+        !big_endian && yi == xi + 1 && zi == xi + 2 &&
+        props[xi].is_float && props[xi].size == 4 &&
+        props[yi].is_float && props[yi].size == 4 &&
+        props[zi].is_float && props[zi].size == 4;
     if (fast_path) {
       const int xoff = offsets[xi];
       for (int64_t v = 0; v < n_vertices; ++v) {

@@ -70,10 +70,17 @@ static bool load_off(const char* path, Mesh* m) {
   std::string magic;
   f >> magic;
   if (magic != "OFF" && magic != "COFF") return false;
+  const bool coff = (magic == "COFF");
   long nv = 0, nf = 0, ne = 0;
   f >> nv >> nf >> ne;
   m->verts.resize(nv);
-  for (long i = 0; i < nv; ++i) f >> m->verts[i].x >> m->verts[i].y >> m->verts[i].z;
+  std::string rest;
+  for (long i = 0; i < nv; ++i) {
+    f >> m->verts[i].x >> m->verts[i].y >> m->verts[i].z;
+    // COFF vertex lines carry per-vertex color after xyz — skip to EOL so
+    // the next vertex doesn't parse color fields as coordinates
+    if (coff) std::getline(f, rest);
+  }
   for (long i = 0; i < nf; ++i) {
     int cnt;
     f >> cnt;
@@ -126,7 +133,21 @@ static std::vector<V3> voxel_downsample(const std::vector<V3>& pts,
     V3 sum{0, 0, 0};
     long cnt = 0;
   };
-  std::unordered_map<uint64_t, Acc> cells;
+  // exact (ix,iy,iz) key with equality — hashing the indices INTO the key
+  // would silently merge distinct colliding voxels into bogus centroids
+  struct CellKey {
+    uint64_t ix, iy, iz;
+    bool operator==(const CellKey& o) const {
+      return ix == o.ix && iy == o.iy && iz == o.iz;
+    }
+  };
+  struct CellHash {
+    size_t operator()(const CellKey& k) const {
+      return static_cast<size_t>((k.ix * 73856093ULL) ^ (k.iy * 19349663ULL) ^
+                                 (k.iz * 83492791ULL));
+    }
+  };
+  std::unordered_map<CellKey, Acc, CellHash> cells;
   V3 lo = pts[0];
   for (const auto& p : pts) {
     lo.x = std::min(lo.x, p.x);
@@ -134,10 +155,9 @@ static std::vector<V3> voxel_downsample(const std::vector<V3>& pts,
     lo.z = std::min(lo.z, p.z);
   }
   for (const auto& p : pts) {
-    uint64_t ix = static_cast<uint64_t>((p.x - lo.x) / leaf);
-    uint64_t iy = static_cast<uint64_t>((p.y - lo.y) / leaf);
-    uint64_t iz = static_cast<uint64_t>((p.z - lo.z) / leaf);
-    uint64_t key = (ix * 73856093ULL) ^ (iy * 19349663ULL) ^ (iz * 83492791ULL);
+    CellKey key{static_cast<uint64_t>((p.x - lo.x) / leaf),
+                static_cast<uint64_t>((p.y - lo.y) / leaf),
+                static_cast<uint64_t>((p.z - lo.z) / leaf)};
     auto& a = cells[key];
     a.sum.x += p.x;
     a.sum.y += p.y;

@@ -46,12 +46,24 @@ def parse_log(path: str):
     return train, val, best
 
 
+def find_log(exp_dir):
+    """<exp_dir>/train.log, else the first *.log (main.py names the file
+    after the command — overfit runs write overfit.log)."""
+    path = os.path.join(exp_dir, "train.log")
+    if os.path.exists(path):
+        return path
+    import glob
+
+    candidates = sorted(glob.glob(os.path.join(exp_dir, "*.log")))
+    return candidates[0] if candidates else path
+
+
 def compare(exp_dirs, labels, out):
     """Overlay validation-total curves from several runs (e.g. f32 vs bf16
     at identical config/seed) on one log-scale plot."""
     fig, ax = plt.subplots(figsize=(7, 4))
     for d, lab in zip(exp_dirs, labels):
-        _, val, _ = parse_log(os.path.join(d, "train.log"))
+        _, val, _ = parse_log(find_log(d))
         ep = sorted(val)
         ax.plot(ep, [val[e][2] for e in ep], label=lab, linewidth=1.2)
     ax.set_yscale("log")
@@ -79,8 +91,7 @@ def main():
                                  for d in dirs]
         compare(dirs, labels, args.out or "val_compare.png")
         return
-    log_path = os.path.join(args.exp_dir, "train.log")
-    train, val, best = parse_log(log_path)
+    train, val, best = parse_log(find_log(args.exp_dir))
 
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
     for ax, series, title in ((axes[0], train, "train"), (axes[1], val, "validation")):

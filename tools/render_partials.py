@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -44,7 +45,10 @@ def main():
             complete = read_ply_points(os.path.join(complete_root, cat, fname))
             partials = generate_partials(
                 complete, n_views=args.n_views,
-                seed=args.seed + hash((cat, model_id)) % (2**31),
+                # crc32, not hash(): str hashes are salted per process
+                # (PYTHONHASHSEED), which would defeat --seed reproducibility
+                seed=args.seed
+                + zlib.crc32(f"{cat}/{model_id}".encode()) % (2**31),
             )
             if args.split == "train":
                 for k, part in enumerate(partials):
