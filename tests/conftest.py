@@ -38,7 +38,8 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+    if config.getoption("--runslow") or \
+            os.environ.get("RUN_SLOW", "") not in ("", "0"):
         return
     skip = pytest.mark.skip(reason="slow tier: pass --runslow (or RUN_SLOW=1)")
     for item in items:

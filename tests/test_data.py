@@ -56,30 +56,10 @@ class TestPly:
 
 class TestShapeNet:
     def _make_dataset(self, root, split, n_models=3):
-        lines = []
-        rng = np.random.default_rng(0)
-        for i in range(n_models):
-            cat, mid = "02691156", f"model{i}"
-            lines.append(f"{cat}/{mid}")
-            os.makedirs(os.path.join(root, split, "partial", cat), exist_ok=True)
-            os.makedirs(os.path.join(root, split, "complete", cat), exist_ok=True)
-            if split == "train":
-                for v in range(8):
-                    write_ply_points(
-                        os.path.join(root, split, "partial", cat, f"{mid}_{v}.ply"),
-                        rng.standard_normal((500, 3)).astype(np.float32),
-                    )
-            else:
-                write_ply_points(
-                    os.path.join(root, split, "partial", cat, f"{mid}.ply"),
-                    rng.standard_normal((500, 3)).astype(np.float32),
-                )
-            write_ply_points(
-                os.path.join(root, split, "complete", cat, f"{mid}.ply"),
-                rng.standard_normal((20000, 3)).astype(np.float32),
-            )
-        with open(os.path.join(root, f"{split}.list"), "w") as f:
-            f.write("\n".join(lines))
+        from tests.datagen import build_mini_pcn
+
+        build_mini_pcn(root, splits=(split,), n_models=n_models,
+                       n_partial=500)
 
     def test_train_split_shapes(self, tmp_path):
         root = str(tmp_path)

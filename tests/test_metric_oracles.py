@@ -86,7 +86,7 @@ class TestVoxelOracle:
             [4.0, 4.0, 4.0],   # max corner -> voxel 3
             [1.0, 2.0, 3.0],   # interior boundaries -> LOWER voxel (0,1,2)
             [2.0, 2.0, 2.0],
-            [0.5, 1.5, 2.5],   # mid-voxel controls
+            [3.5, 0.5, 0.5],   # mid-voxel control in a voxel of its own
         ], dtype=np.float32)
         got = np.asarray(points_to_voxels(jnp.asarray(pts), n))
         want = pyntcloud_voxelgrid_oracle(pts, n)
@@ -95,7 +95,8 @@ class TestVoxelOracle:
         assert got[0, 1, 2]      # (1.0, 2.0, 3.0) -> (0, 1, 2), not (1, 2, 3)
         assert not got[1, 2, 3]
         assert got[1, 1, 1]      # (2,2,2) -> lower voxel 1 on every axis
-        assert got[0, 1, 2]
+        assert got[3, 0, 0]      # mid-voxel control (3.5,0.5,0.5), no
+        assert not got[2, 0, 0]  # boundary ambiguity possible
 
     def test_short_axis_bbox_is_regular(self):
         # y/z ranges are half the x range: the voxelgrid must still be cubic

@@ -143,8 +143,10 @@ class TestVoxelIoU:
         grid = np.asarray(points_to_voxels(pts, 2))
         assert grid.sum() == 8
 
-    def test_disjoint_iou_low(self, rng):
+    def test_iou_is_per_own_bbox(self, rng):
+        """Pins the convention (PyntCloud / reference voxel_util.py:89-105):
+        each cloud voxelizes in its OWN bounding box, so a rigid translation
+        leaves IoU at 1 — disjoint clouds are NOT penalized for position."""
         a = rng.random((200, 3)).astype(np.float32)
         b = a + np.array([10.0, 0, 0], np.float32)
-        # same shape, shifted box -> same relative voxels -> IoU 1 in own boxes
         np.testing.assert_allclose(voxel_iou(a, b), 1.0, atol=0.35)

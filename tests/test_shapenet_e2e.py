@@ -11,37 +11,11 @@ import os
 import numpy as np
 import pytest
 
-from vn_pointcloudcompletion_tpu.data.ply import write_ply_points
+from tests.datagen import build_mini_pcn
 
 
 def build_pcn_dataset(root, n_models=3, cats=("02691156",)):
-    rng = np.random.default_rng(0)
-    for split, n_views in (("train", 8), ("valid", 1), ("test", 1)):
-        lines = []
-        for cat in cats:
-            os.makedirs(os.path.join(root, split, "partial", cat), exist_ok=True)
-            os.makedirs(os.path.join(root, split, "complete", cat), exist_ok=True)
-            for i in range(n_models):
-                mid = f"model{i}"
-                lines.append(f"{cat}/{mid}")
-                if split == "train":
-                    for v in range(n_views):
-                        write_ply_points(
-                            os.path.join(root, split, "partial", cat,
-                                         f"{mid}_{v}.ply"),
-                            rng.standard_normal((700, 3)).astype(np.float32) * 0.2,
-                        )
-                else:
-                    write_ply_points(
-                        os.path.join(root, split, "partial", cat, f"{mid}.ply"),
-                        rng.standard_normal((700, 3)).astype(np.float32) * 0.2,
-                    )
-                write_ply_points(
-                    os.path.join(root, split, "complete", cat, f"{mid}.ply"),
-                    rng.standard_normal((20000, 3)).astype(np.float32) * 0.2,
-                )
-        with open(os.path.join(root, f"{split}.list"), "w") as f:
-            f.write("\n".join(lines))
+    build_mini_pcn(root, n_models=n_models, cats=cats, scale=0.2)
 
 
 class TestShapeNetEndToEnd:

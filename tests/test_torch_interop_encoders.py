@@ -93,16 +93,31 @@ class _TorchProxy:
         return torch.device("cpu")
 
 
+def _install_stubs(mods):
+    """sys.modules[name] = stub for each, returning a restore() that puts
+    back whatever was there before (so stubs don't leak across tests)."""
+    prev = {n: sys.modules.get(n) for n in mods}
+    sys.modules.update(mods)
+
+    def restore():
+        for n, v in prev.items():
+            if v is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = v
+
+    return restore
+
+
 @pytest.fixture(scope="module")
 def ref_dgcnn():
     p2o = types.ModuleType("pointnet2_ops")
     p2o.pointnet2_utils = SimpleNamespace(
         furthest_point_sample=_torch_fps, gather_operation=_torch_gather
     )
-    sys.modules["pointnet2_ops"] = p2o
     kc = types.ModuleType("knn_cuda")
     kc.KNN = _TorchKNN
-    sys.modules["knn_cuda"] = kc
+    restore = _install_stubs({"pointnet2_ops": p2o, "knn_cuda": kc})
 
     sys.path.insert(0, REF)
     try:
@@ -116,7 +131,8 @@ def ref_dgcnn():
     mod.torch = _TorchProxy()
     mod.knn = _TorchKNN(16)
     mod.pointnet2_utils = p2o.pointnet2_utils
-    return mod
+    yield mod
+    restore()
 
 
 def _tree_shapes(tree):
@@ -222,18 +238,18 @@ def test_vn_pointr_interop(tmp_path):
     models_mod = types.ModuleType("timm.models")
     models_mod.layers = layers
     timm.models = models_mod
-    sys.modules["timm"] = timm
-    sys.modules["timm.models"] = models_mod
-    sys.modules["timm.models.layers"] = layers
 
     p2o = types.ModuleType("pointnet2_ops")
     p2o.pointnet2_utils = SimpleNamespace(
         furthest_point_sample=_torch_fps, gather_operation=_torch_gather
     )
-    sys.modules["pointnet2_ops"] = p2o
     kc = types.ModuleType("knn_cuda")
     kc.KNN = _TorchKNN
-    sys.modules["knn_cuda"] = kc
+    restore = _install_stubs({
+        "timm": timm, "timm.models": models_mod,
+        "timm.models.layers": layers,
+        "pointnet2_ops": p2o, "knn_cuda": kc,
+    })
 
     sys.path.insert(0, REF)
     try:
@@ -244,6 +260,7 @@ def test_vn_pointr_interop(tmp_path):
         ref_mod = importlib.import_module("models.pointr.vn_pointr")
     finally:
         sys.path.remove(REF)
+        restore()
 
     torch.manual_seed(0)
     ref = ref_mod.VN_PCTransformer(

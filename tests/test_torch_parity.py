@@ -163,6 +163,16 @@ class TestVNLayerParity:
         out_ref = t2n(ref(torch.from_numpy(x)))
         out, updated = mod.apply(variables, x, train=True, mutable=["batch_stats"])
         np.testing.assert_allclose(out, out_ref, atol=1e-4)
+        # the running update itself must also match (torch's is unbiased):
+        # eval-mode behaviour after resume diverges silently otherwise
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["BatchNorm_0"]["mean"]),
+            t2n(ref.bn.running_mean), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["BatchNorm_0"]["var"]),
+            t2n(ref.bn.running_var), atol=1e-5,
+        )
 
     def test_vn_layernorm(self, rng):
         x = make_x(rng, (2, 8, 3, 16))
@@ -445,15 +455,21 @@ class TestModelParity:
         # argmax-free: exact end-to-end comparison, eval AND train-BN mode
         from vn_pointcloudcompletion_tpu.models.pcn import VNFoldingNet
 
+        import copy
+
         _, dec, _, decv, _, ref = transfused
         dec_p, dec_s = decv
-        dec.train(mode=train)
+        # train-mode BN updates running stats in-place even under no_grad;
+        # run on a copy so the class-scoped fixture stays pristine for
+        # later tests (test_composed_end_to_end compares against baselines
+        # recorded with the pre-mutation stats)
+        dec_t = copy.deepcopy(dec)
+        dec_t.train(mode=train)
         with torch.no_grad():
             fine_ref = t2n(
-                dec(torch.from_numpy(ref["coarse"]),
-                    torch.from_numpy(ref["fg2"]), None)
+                dec_t(torch.from_numpy(ref["coarse"]),
+                      torch.from_numpy(ref["fg2"]), None)
             )
-        dec.eval()
         mod = VNFoldingNet(num_coarse=1024, latent_dim=2048)
         out = mod.apply(
             {"params": dec_p, "batch_stats": dec_s},

@@ -191,10 +191,7 @@ class TestEdgeConvDecomposition:
             return _pool_edge_planes(out, n, k)
 
         def edge(variables, x, train=False, **kw):
-            out = mod.apply(variables, x, train=train, edge_idx=idx, **kw)
-            if train:
-                return out
-            return out
+            return mod.apply(variables, x, train=train, edge_idx=idx, **kw)
 
         return mod, x, idx, legacy, edge
 

@@ -143,7 +143,7 @@ class _VNSplitFoldLayerFused(nn.Module):
             cnt = x2.shape[0] * x2.shape[3]
             mean = s1 / cnt
             var = s2 / cnt - mean * mean
-            a, b = bn(None, True, moments=(mean, var))
+            a, b = bn(None, True, moments=(mean, var), count=cnt)
         else:
             a, b = bn(None, False)
         return vn_layer_fused.vn_layer_fused(
@@ -275,7 +275,7 @@ class _VNSplitPairFoldLayerFused(nn.Module):
             cnt = b * ns
             mean = s1 / cnt
             var_m = s2 / cnt - mean * mean
-            a, bb = bn(None, True, moments=(mean, var_m))
+            a, bb = bn(None, True, moments=(mean, var_m), count=cnt)
         else:
             a, bb = bn(None, False)
         return vn_layer_fused.vn_layer_fused(

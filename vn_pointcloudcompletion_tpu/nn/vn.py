@@ -153,12 +153,16 @@ class VNBatchNorm(nn.Module):
         # statistics always in f32 (bf16 norms drift BN running stats)
         ct = jnp.promote_types(x.dtype, jnp.float32)
         norm = jnp.linalg.norm(x.astype(ct), axis=2) + EPS  # (B, C, N...)
-        norm_bn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            axis=1,
-        )(norm)
+        c = norm.shape[1]
+        # _NormAffine, not flax nn.BatchNorm: torch updates running_var with
+        # the UNBIASED batch variance (flax uses biased), and the name keeps
+        # the auto-named nn.BatchNorm tree for checkpoint compatibility
+        a, b = _NormAffine(
+            c, momentum=self.momentum, epsilon=self.epsilon,
+            name="BatchNorm_0",
+        )(norm, train)
+        bshape = (1, c) + (1,) * (norm.ndim - 2)
+        norm_bn = a.reshape(bshape) * norm + b.reshape(bshape)
         scale = (norm_bn / norm).astype(x.dtype)
         return x * scale[:, :, None]
 
@@ -181,11 +185,14 @@ class VNLayerNorm(nn.Module):
 class _NormAffine(nn.Module):
     """BatchNorm-on-norms folded to per-channel affine (A, B).
 
-    Reproduces flax ``nn.BatchNorm`` semantics (f32 stats, biased variance,
-    momentum update skipped at init) but returns the folded coefficients
-    ``norm_bn = A * norm + B`` instead of applying them — the fused Pallas
-    kernel applies them in one pass.  Parameter/stat names match
-    ``nn.BatchNorm`` so the tree is identical to the unfused path.
+    torch ``nn.BatchNorm1d/2d`` semantics (reference vn_layers.py:107-127):
+    f32 stats, normalisation with the BIASED batch variance, running update
+    with the UNBIASED one (factor n/(n-1) — flax's nn.BatchNorm uses biased
+    for both, which drifts eval-after-resume from torch), update skipped at
+    init.  Returns the folded coefficients ``norm_bn = A * norm + B``
+    instead of applying them — the fused Pallas kernel applies them in one
+    pass.  Parameter/stat names match ``nn.BatchNorm`` so the tree is
+    identical across the fused/unfused paths and old checkpoints.
     """
 
     features: int
@@ -193,7 +200,7 @@ class _NormAffine(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, norm, train: bool, moments=None):
+    def __call__(self, norm, train: bool, moments=None, count=None):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -206,19 +213,29 @@ class _NormAffine(nn.Module):
         if train:
             if moments is not None:
                 # caller provides (mean, biased var) — the fully-fused layer
-                # path computes them from in-kernel partial sums
+                # path computes them from in-kernel partial sums — plus the
+                # reduction element count for the unbiased running update
                 mean, var = moments
+                if count is None:
+                    raise ValueError(
+                        "moments= requires count= (reduction element count "
+                        "for the unbiased running-var update)"
+                    )
+                cnt = count
             else:
                 axes = (0,) + tuple(range(2, norm.ndim))
                 mean = jnp.mean(norm, axis=axes)
                 mean2 = jnp.mean(norm * norm, axis=axes)
                 var = mean2 - mean * mean
+                cnt = norm.size // c
             if not self.is_initializing():
+                unbiased = var * (cnt / max(cnt - 1, 1))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * unbiased
                 )
         else:
             mean, var = ra_mean.value, ra_var.value
@@ -233,9 +250,9 @@ class _FoldedBN(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, norm, train: bool, moments=None):
+    def __call__(self, norm, train: bool, moments=None, count=None):
         return _NormAffine(self.features, name="BatchNorm_0")(
-            norm, train, moments=moments
+            norm, train, moments=moments, count=count
         )
 
 
@@ -369,7 +386,7 @@ class VNLinearLeakyReLU(nn.Module):
                     cnt = x.shape[0] * x.shape[3]
                     mean = s1 / cnt
                     var = s2 / cnt - mean * mean
-                    a, b = bn(None, True, moments=(mean, var))
+                    a, b = bn(None, True, moments=(mean, var), count=cnt)
                 else:
                     a, b = bn(None, False)
                 if project_out is not None:
