@@ -28,11 +28,13 @@ def _cases():
         VNPCTransformer,
         VNPointNet,
     )
+    from vn_pointcloudcompletion_tpu.models.dgcnn import DGCNNfps
 
     return {
         "pcn_small": (PCN(num_dense=256, latent_dim=64, grid_size=4), (2, 128, 3)),
         "vn_pointnet": (VNPointNet(num_coarse=64, latent_dim=8), (2, 128, 3)),
         "vn_dgcnn_fps": (VNDGCNNfps(num_coarse=32), (1, 600, 3)),
+        "dgcnn_fps": (DGCNNfps(num_coarse=32, latent_dim=64), (1, 600, 3)),
         "vn_pointr": (VNPCTransformer(enc_depth=2, num_query=32), (1, 600, 3)),
         "pcnnet_flagship_small": (
             PCNNet(enc_type="vn_pointnet", dec_type="vn_foldingnet",
