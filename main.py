@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """CLI entry point (reference ``main.py:23-123``).
 
-Subcommands ``train`` / ``overfit`` / ``test``; flags ``-n/--name``,
-``--resume``, ``--ckpt_path``, ``-from/--from_epoch``, ``-epochs``.
+Subcommands ``train`` / ``overfit`` / ``test`` / ``predict`` (batch
+inference on raw PLYs — beyond the reference's surface); flags
+``-n/--name``, ``--resume``, ``--ckpt_path``, ``-from/--from_epoch``,
+``-epochs``.
 ``.env`` supplies OUTPUT_DIR / DATA_PATH before config loading, exactly like
 the reference's pre-import dotenv (main.py:10).
 """
@@ -42,7 +44,8 @@ def main(argv=None):
     parser.add_argument("-epochs", "--epochs", type=int, default=None,
                         help="override max epochs")
     parser.add_argument("--save", action="store_true",
-                        help="test: export predicted clouds as .ply")
+                        help="test: export predicted clouds as .ply; "
+                             "predict: also write the coarse clouds")
     parser.add_argument("--emd", action="store_true",
                         help="test: also report per-point EMD (test.py:139-182)")
     parser.add_argument("--novel", action="store_true",
@@ -52,7 +55,14 @@ def main(argv=None):
                         help="train/overfit only: data-parallel over N "
                              "devices (0 = all available; default: single "
                              "device)")
-    parser.add_argument("command", choices=["train", "overfit", "test"])
+    parser.add_argument("-i", "--input", type=str, default=None,
+                        help="predict: a partial .ply file or a directory "
+                             "of them")
+    parser.add_argument("-o", "--output", type=str, default=None,
+                        help="predict: output directory (default "
+                             "<exp_dir>/predictions)")
+    parser.add_argument("command",
+                        choices=["train", "overfit", "test", "predict"])
     args = parser.parse_args(argv)
 
     from vn_pointcloudcompletion_tpu.utils.config import load_config, store_config
@@ -64,10 +74,14 @@ def main(argv=None):
 
     configure_logging()
 
-    if args.command == "test" and not args.resume:
+    if args.command in ("test", "predict") and not args.resume:
         # without --resume this would create a fresh empty experiment dir
-        # and then crash in evaluate() on the missing checkpoint
-        parser.error("test requires --resume with -n <existing experiment>")
+        # and then crash on the missing checkpoint
+        parser.error(
+            f"{args.command} requires --resume with -n <existing experiment>"
+        )
+    if args.command == "predict" and not args.input:
+        parser.error("predict requires -i/--input <.ply file or directory>")
 
     branching = args.from_epoch not in (0, "0", None, "")
     if args.resume:
@@ -129,6 +143,13 @@ def main(argv=None):
             config.extra["synthetic_train_samples"] = config.batch_size
             config.extra["synthetic_val_samples"] = config.batch_size
         train(config, resume=args.resume, mesh=mesh)
+    elif args.command == "predict":
+        from vn_pointcloudcompletion_tpu.training.predict import predict
+
+        out_dir = args.output or os.path.join(config.exp_dir, "predictions")
+        written = predict(config, args.input, out_dir,
+                          save_coarse=args.save)
+        print(f"wrote {len(written)} completions -> {out_dir}")
     else:
         from vn_pointcloudcompletion_tpu.training.evaluate import evaluate
 

@@ -63,6 +63,29 @@ class TestCLI:
         # evaluate with the EMD column
         cli.main(["-n", runs[0], "--resume", "--emd", "test"])
 
+        # batch inference over a directory of raw partial PLYs
+        from vn_pointcloudcompletion_tpu.data.ply import (
+            read_ply_points,
+            write_ply_points,
+        )
+
+        in_dir = synthetic_project / "raw"
+        in_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            write_ply_points(
+                str(in_dir / f"scan{i}.ply"),
+                rng.standard_normal((700, 3)).astype(np.float32) * 0.2,
+            )
+        out_dir = synthetic_project / "pred"
+        cli.main(["-n", runs[0], "--resume", "predict",
+                  "-i", str(in_dir), "-o", str(out_dir)])
+        outs = sorted(os.listdir(out_dir))
+        assert outs == [f"scan{i}_completion.ply" for i in range(3)]
+        pts = read_ply_points(str(out_dir / outs[0]))
+        assert pts.shape[1] == 3 and len(pts) >= 1024
+        assert np.isfinite(pts).all()
+
     @pytest.mark.slow
     def test_new_run_number_increments(self, synthetic_project):
         cli.main(["-n", "cli_smoke", "--mesh", "1", "train"])
