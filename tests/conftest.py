@@ -8,6 +8,14 @@ cluster — see SURVEY.md §4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent XLA compilation cache: most of the tier's time is CPU *compiles*
+# of jitted train steps (e.g. test_dense_path_step 78 s cold vs 54 s warm).
+# Keyed by HLO hash, so stale entries can't go wrong — safe across code edits.
+# Opt out with JAX_TEST_CACHE=0.
+if os.environ.get("JAX_TEST_CACHE", "1") != "0":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
