@@ -310,6 +310,192 @@ def make_vessel(rng):
     return _merge(parts)
 
 
+def make_bus(rng):
+    L = rng.uniform(1.0, 1.3)
+    w = rng.uniform(0.3, 0.4)
+    h = rng.uniform(0.32, 0.45)
+    wheel_r = rng.uniform(0.05, 0.07)
+    z0 = wheel_r * 0.8
+    parts = [_box([0, 0, z0 + h / 2], [L, w, h])]  # slab body
+    # window band along both sides
+    parts.append(_box([0.02, 0, z0 + h * 0.72],
+                      [L * 0.9, w * 1.02, h * 0.22]))
+    n_ax = 2 if rng.random() < 0.7 else 3
+    xs = np.linspace(L * 0.35, -L * 0.35, n_ax)
+    ww = w * 0.1
+    for x in xs:
+        for s in (+1, -1):
+            y = s * (w / 2 - ww / 2)
+            parts.append(_cylinder([x, y - ww / 2, wheel_r],
+                                   [x, y + ww / 2, wheel_r], wheel_r, nseg=14))
+    return _merge(parts)
+
+
+def make_bed(rng):
+    L = rng.uniform(0.95, 1.3)          # length (x)
+    w = rng.uniform(0.6, 1.0)
+    frame_h = rng.uniform(0.12, 0.2)
+    mat_h = rng.uniform(0.08, 0.14)
+    head_h = frame_h + rng.uniform(0.25, 0.45)
+    parts = [
+        _box([0, 0, frame_h / 2 + 0.03], [L, w, frame_h]),        # frame
+        _box([0, 0, frame_h + 0.03 + mat_h / 2],
+             [L * 0.97, w * 0.95, mat_h]),                         # mattress
+        _box([L / 2 - 0.02, 0, head_h / 2 + 0.03],
+             [0.04, w, head_h]),                                   # headboard
+    ]
+    if rng.random() < 0.5:  # footboard
+        parts.append(_box([-L / 2 + 0.02, 0, (frame_h + 0.12) / 2 + 0.03],
+                          [0.04, w, frame_h + 0.12]))
+    if rng.random() < 0.6:  # pillow
+        parts.append(_box([L / 2 - 0.16, 0, frame_h + mat_h + 0.05],
+                          [0.22, w * 0.8, 0.06]))
+    for sx in (+1, -1):
+        for sy in (+1, -1):
+            x, y = sx * (L / 2 - 0.05), sy * (w / 2 - 0.05)
+            parts.append(_cylinder([x, y, 0], [x, y, 0.04], 0.02, nseg=8))
+    return _merge(parts)
+
+
+def make_bookshelf(rng):
+    w = rng.uniform(0.6, 1.0)
+    d = rng.uniform(0.2, 0.32)
+    h = rng.uniform(0.9, 1.4)
+    t = 0.02
+    n_shelves = int(rng.integers(3, 6))
+    parts = [
+        _box([-w / 2 + t / 2, 0, h / 2], [t, d, h]),   # sides
+        _box([w / 2 - t / 2, 0, h / 2], [t, d, h]),
+        _box([0, -d / 2 + t / 2, h / 2], [w, t, h]),   # back panel
+        _box([0, 0, h - t / 2], [w, d, t]),            # top
+    ]
+    for i in range(n_shelves):
+        z = h * (i + 0.5) / n_shelves
+        parts.append(_box([0, 0, z], [w - 2 * t, d, t]))
+        if rng.random() < 0.7:  # a run of books on this shelf
+            n_books = int(rng.integers(3, 8))
+            bx0 = -w / 2 + 2 * t
+            avail = w - 4 * t
+            bw = avail / n_books
+            for b in range(n_books):
+                bh = rng.uniform(0.4, 0.85) * (h / n_shelves - t)
+                parts.append(_box([bx0 + bw * (b + 0.5), 0.02, z + t / 2 + bh / 2],
+                                  [bw * 0.8, d * 0.7, bh]))
+    return _merge(parts)
+
+
+def make_bench(rng):
+    w = rng.uniform(0.9, 1.4)           # width (y)
+    d = rng.uniform(0.28, 0.4)
+    seat_h = rng.uniform(0.35, 0.48)
+    n_slats = int(rng.integers(2, 5))
+    parts = []
+    sw = d / n_slats
+    for i in range(n_slats):  # slatted seat
+        x = -d / 2 + sw * (i + 0.5)
+        parts.append(_box([x, 0, seat_h], [sw * 0.8, w, 0.03]))
+    if rng.random() < 0.6:  # slatted backrest
+        for i in range(int(rng.integers(1, 3))):
+            z = seat_h + 0.12 + i * 0.1
+            parts.append(_box([-d / 2 - 0.02, 0, z], [0.03, w, 0.06],
+                              rot=_rot_y(rng.uniform(0.05, 0.15))))
+    for s in (+1, -1):  # leg frames at both ends
+        y = s * (w / 2 - 0.06)
+        parts.append(_box([0, y, seat_h / 2], [d * 0.9, 0.04, seat_h]))
+    return _merge(parts)
+
+
+def make_guitar(rng):
+    body_l = rng.uniform(0.42, 0.52)    # body length (x)
+    body_w = rng.uniform(0.3, 0.4)
+    body_t = rng.uniform(0.04, 0.07)
+    neck_l = rng.uniform(0.4, 0.55)
+    parts = [
+        # figure-eight body: two overlapping squashed ellipsoids
+        _ellipsoid([-body_l * 0.18, 0, 0],
+                   [body_l * 0.32, body_w * 0.5, body_t], nu=18),
+        _ellipsoid([body_l * 0.2, 0, 0],
+                   [body_l * 0.26, body_w * 0.4, body_t], nu=18),
+        # neck + headstock
+        _box([body_l * 0.46 + neck_l / 2, 0, 0.01], [neck_l, 0.045, 0.02]),
+        _box([body_l * 0.46 + neck_l + 0.05, 0, 0.012], [0.1, 0.06, 0.018]),
+    ]
+    if rng.random() < 0.5:  # bridge block
+        parts.append(_box([-body_l * 0.2, 0, body_t + 0.005],
+                          [0.05, 0.08, 0.012]))
+    return _merge(parts)
+
+
+def make_motorbike(rng):
+    L = rng.uniform(0.9, 1.1)
+    wheel_r = rng.uniform(0.14, 0.18)
+    ww = rng.uniform(0.035, 0.055)
+    ax_f, ax_r = L * 0.38, -L * 0.38
+    rake = rng.uniform(0.35, 0.55)      # fork angle
+    parts = []
+    for x in (ax_f, ax_r):  # wheels
+        parts.append(_cylinder([x, -ww / 2, wheel_r], [x, ww / 2, wheel_r],
+                               wheel_r, nseg=18))
+    # main frame spine + engine block + seat + tank
+    parts.append(_cylinder([ax_r, 0, wheel_r], [ax_f * 0.7, 0, wheel_r + 0.18],
+                           0.02))
+    parts.append(_box([0, 0, wheel_r + 0.02], [L * 0.25, 0.12, 0.14]))
+    parts.append(_box([-L * 0.18, 0, wheel_r + 0.2], [L * 0.3, 0.1, 0.05]))
+    parts.append(_ellipsoid([L * 0.08, 0, wheel_r + 0.2],
+                            [0.1, 0.06, 0.06]))
+    # fork + handlebar
+    top = [ax_f - rake * 0.2, 0, wheel_r + 0.3]
+    parts.append(_cylinder([ax_f, 0, wheel_r], top, 0.015))
+    parts.append(_cylinder([top[0], -0.12, top[2]], [top[0], 0.12, top[2]],
+                           0.012))
+    if rng.random() < 0.5:  # exhaust
+        parts.append(_cylinder([-L * 0.05, 0.06, wheel_r - 0.02],
+                               [ax_r, 0.06, wheel_r + 0.02], 0.02))
+    return _merge(parts)
+
+
+def make_skateboard(rng):
+    L = rng.uniform(0.75, 0.95)
+    w = rng.uniform(0.2, 0.26)
+    deck_t = 0.012
+    wheel_r = rng.uniform(0.03, 0.04)
+    deck_z = wheel_r * 2 + 0.02
+    parts = [_box([0, 0, deck_z], [L * 0.82, w, deck_t])]
+    for s in (+1, -1):  # kicked nose/tail
+        parts.append(_box([s * L * 0.45, 0, deck_z + 0.015],
+                          [L * 0.12, w, deck_t], rot=_rot_y(s * 0.35)))
+    for x in (L * 0.3, -L * 0.3):  # trucks + wheels
+        parts.append(_box([x, 0, deck_z - 0.015], [0.04, w * 0.5, 0.02]))
+        for s in (+1, -1):
+            y = s * (w / 2 - 0.02)
+            parts.append(_cylinder([x, y - 0.012, wheel_r],
+                                   [x, y + 0.012, wheel_r], wheel_r, nseg=10))
+    return _merge(parts)
+
+
+def make_pistol(rng):
+    barrel_l = rng.uniform(0.5, 0.7)
+    slide_h = rng.uniform(0.12, 0.16)
+    grip_l = rng.uniform(0.3, 0.4)
+    grip_rake = rng.uniform(0.25, 0.4)
+    parts = [
+        _box([0, 0, 0], [barrel_l, 0.09, slide_h]),              # slide/frame
+        _cylinder([barrel_l / 2 - 0.02, 0, 0.01],
+                  [barrel_l / 2 + 0.06, 0, 0.01], 0.025, nseg=10),  # muzzle
+        # raked grip below the rear of the frame
+        _box([-barrel_l / 2 + grip_l * np.sin(grip_rake) / 2 + 0.08, 0,
+              -slide_h / 2 - grip_l * np.cos(grip_rake) / 2],
+             [0.1, 0.08, grip_l], rot=_rot_y(grip_rake)),
+    ]
+    # trigger guard loop (two thin boxes)
+    parts.append(_box([-0.05, 0, -slide_h / 2 - 0.06], [0.12, 0.02, 0.015]))
+    parts.append(_box([0.01, 0, -slide_h / 2 - 0.03], [0.015, 0.02, 0.06]))
+    if rng.random() < 0.5:  # sight nub
+        parts.append(_box([barrel_l / 2 - 0.03, 0, slide_h / 2 + 0.01],
+                          [0.02, 0.02, 0.02]))
+    return _merge(parts)
+
+
 BUILDERS = {
     "airplane": make_airplane,
     "cabinet": make_cabinet,
@@ -319,6 +505,16 @@ BUILDERS = {
     "sofa": make_sofa,
     "table": make_table,
     "vessel": make_vessel,
+    # the 8 novel (unseen) PCN categories (reference test.py:19 — the
+    # novel-category branch the rebuild exposes via `main.py test --novel`)
+    "bus": make_bus,
+    "bed": make_bed,
+    "bookshelf": make_bookshelf,
+    "bench": make_bench,
+    "guitar": make_guitar,
+    "motorbike": make_motorbike,
+    "skateboard": make_skateboard,
+    "pistol": make_pistol,
 }
 
 

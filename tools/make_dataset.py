@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--train", type=int, default=80)
     ap.add_argument("--valid", type=int, default=8)
     ap.add_argument("--test", type=int, default=8)
+    ap.add_argument("--novel", type=int, default=0,
+                    help="also build a test_novel split with this many "
+                         "models per novel category (reference test.py:19; "
+                         "consumed by `main.py test --novel`)")
+    ap.add_argument("--novel_categories", nargs="+",
+                    default=["bus", "bed", "bookshelf", "bench", "guitar",
+                             "motorbike", "skateboard", "pistol"])
     ap.add_argument("--n_complete", type=int, default=16384)
     ap.add_argument("--n_views", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
@@ -54,18 +61,25 @@ def main():
     from tools.gen_shapes import generate, write_obj  # noqa: E402
 
     build_mesh_sampling()
-    splits = (("train", args.train), ("valid", args.valid), ("test", args.test))
+    splits = [
+        ("train", args.train, args.categories),
+        ("valid", args.valid, args.categories),
+        ("test", args.test, args.categories),
+    ]
+    if args.novel:
+        splits.append(("test_novel", args.novel, args.novel_categories))
     with tempfile.TemporaryDirectory() as tmp:
-        for split, count in splits:
+        for split, count, categories in splits:
             lines = []
-            for cat in args.categories:
+            for cat in categories:
                 cat_id = CAT2ID[cat]
                 comp_dir = os.path.join(args.root, split, "complete", cat_id)
                 part_dir = os.path.join(args.root, split, "partial", cat_id)
                 os.makedirs(comp_dir, exist_ok=True)
                 os.makedirs(part_dir, exist_ok=True)
                 # disjoint seed ranges per split so no model leaks across
-                base = {"train": 0, "valid": 100000, "test": 200000}[split]
+                base = {"train": 0, "valid": 100000, "test": 200000,
+                        "test_novel": 300000}[split]
                 base += args.seed
                 for i in range(count):
                     model_id = f"{cat}_{split}_{i:04d}"
@@ -97,6 +111,8 @@ def main():
                             partials[0])
                     lines.append(f"{cat_id}/{model_id}")
                 print(f"{split}/{cat}: {count} models done", flush=True)
+            if not lines:
+                continue  # zero-count split: don't write an empty list file
             with open(os.path.join(args.root, f"{split}.list"), "w") as fh:
                 fh.write("\n".join(lines) + "\n")
     print(f"dataset complete at {args.root}")
