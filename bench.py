@@ -117,6 +117,44 @@ def bench_eval_step(batch_size: int = 16, iters: int = 10, warmup: int = 2):
     return iters / dt * batch_size, iters / dt
 
 
+def bench_infer(batch_size: int = 32, iters: int = 10, warmup: int = 2):
+    """Pure serving path: flagship model forward only (partial -> 16384-pt
+    completion), eval mode, bf16, no metrics — the deployment-inference
+    number, distinct from the metric-step eval entry."""
+    from vn_pointcloudcompletion_tpu.models.composer import build_model
+    from vn_pointcloudcompletion_tpu.nn.precision import (
+        from_config_dtype,
+        set_compute_dtype,
+    )
+    from vn_pointcloudcompletion_tpu.training.state import create_train_state
+    from vn_pointcloudcompletion_tpu.utils.config import Config
+
+    set_compute_dtype(from_config_dtype("bfloat16"))
+    config = Config.from_dict(
+        dict(
+            enc_type="vn_pointnet", dec_type="vn_foldingnet",
+            num_coarse=1024, latent_dim=2048, only_coarse=False,
+            batch_size=batch_size, lr=1e-4, dtype="bfloat16",
+        )
+    )
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    partial = jnp.asarray(
+        rng.standard_normal((batch_size, 2048, 3)), jnp.float32) * 0.2
+    state = create_train_state(model, config, 1, jax.random.key(0), partial)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda v, p: model.apply(v, p, train=False)[1])
+    for _ in range(warmup):
+        fine = fwd(variables, partial)
+    float(fine[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fine = fwd(variables, partial)
+    float(fine[0, 0, 0])
+    dt = time.perf_counter() - t0
+    return iters / dt * batch_size, iters / dt
+
+
 def bench_emd_eval(batch_size: int = 8, iters: int = 5, warmup: int = 1):
     """Batched streaming approx-EMD at 16384 points (the --emd eval path).
 
@@ -196,6 +234,15 @@ def main():
                                    "batch_size": 16}
     except Exception as e:
         extras["flagship_eval"] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    try:
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError("time budget")
+        cps, sps = bench_infer()
+        extras["flagship_infer"] = {"completions_per_sec": round(cps, 2),
+                                    "steps_per_sec": round(sps, 3),
+                                    "batch_size": 32}
+    except Exception as e:
+        extras["flagship_infer"] = {"error": f"{type(e).__name__}: {e}"[:160]}
     try:
         if time.perf_counter() - t_start > budget_s:
             raise TimeoutError("time budget")
