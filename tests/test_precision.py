@@ -97,15 +97,18 @@ class TestActivationDtype:
         # chain) and still hand back f32 points for the residual add
         from vn_pointcloudcompletion_tpu.models.pcn import AttentionVNFoldingNet
 
+        # tiny 64-coarse config: the dtype policy under test is
+        # size-independent, and the 448/2048 variant costs 35 s of CPU
+        # compile in the fast tier
         coarse = jnp.asarray(
-            rng.standard_normal((1, 448, 3)).astype(np.float32) * 0.2)
+            rng.standard_normal((1, 64, 3)).astype(np.float32) * 0.2)
         feat = jnp.asarray(
-            rng.standard_normal((1, 2048, 3, 1)).astype(np.float32))
+            rng.standard_normal((1, 256, 3, 1)).astype(np.float32))
         with compute_dtype_scope(jnp.bfloat16):
-            model = AttentionVNFoldingNet(num_coarse=448, latent_dim=2048)
+            model = AttentionVNFoldingNet(num_coarse=64, latent_dim=256)
             variables = model.init(jax.random.key(0), coarse, feat,
                                    train=False)
             dense = model.apply(variables, coarse, feat, train=False)
         assert dense.dtype == jnp.float32
-        assert dense.shape == (1, 448 * 64, 3)
+        assert dense.shape == (1, 64 * 16, 3)
         assert np.isfinite(np.asarray(dense)).all()

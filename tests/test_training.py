@@ -27,11 +27,15 @@ from vn_pointcloudcompletion_tpu.utils.config import Config
 
 
 def tiny_config(**kw):
+    # genuinely tiny: the fast tier's cost is CPU compiles of these jitted
+    # steps, and flagship-size (1024/2048) programs took 35 s each.  The
+    # mechanics under test are size-independent; full-size coverage lives in
+    # test_golden (pcnnet_flagship_small) and the slow tier.
     base = dict(
         enc_type="vn_pointnet",
         dec_type="vn_foldingnet",
-        num_coarse=1024,
-        latent_dim=2048,
+        num_coarse=64,
+        latent_dim=256,
         only_coarse=True,
         batch_size=2,
         lr=1e-3,
