@@ -304,3 +304,41 @@ class TestTrainerLoop:
         # resume continues past the stored epoch
         result2 = train(config, resume=True, max_epochs=2)
         assert result2["epochs_run"] == 1
+
+    @pytest.mark.slow
+    def test_deferred_best_checkpoint_flush(self, tmp_path, monkeypatch):
+        """checkpoint_last_every > 1 defers best-checkpoint disk writes to
+        the `last` cadence (device-side copy in between), but the final
+        model_best on disk must hold the true best epoch's parameters."""
+        monkeypatch.setenv("OUTPUT_DIR", str(tmp_path / "experiments"))
+        from vn_pointcloudcompletion_tpu.training.checkpoint import (
+            restore_checkpoint,
+        )
+        from vn_pointcloudcompletion_tpu.training.state import (
+            create_train_state,
+        )
+        from vn_pointcloudcompletion_tpu.training.trainer import train
+        from vn_pointcloudcompletion_tpu.utils.experiments import (
+            create_experiment,
+        )
+
+        config = tiny_config(
+            name="deferbest", max_epochs=3, batch_size=2,
+            checkpoint_last_every=2,
+        )
+        config.extra = {"synthetic_train_samples": 4, "synthetic_val_samples": 2}
+        config = create_experiment(config)
+        result = train(config, resume=False)
+        assert os.path.exists(
+            os.path.join(config.exp_dir, "models", "model_best.ckpt")
+        )
+        # restore best: its stored epoch must equal the reported best epoch
+        # (the deferred write must not have flushed a stale pending copy)
+        model = build_model(config)
+        p = jnp.zeros((2, 2048, 3), jnp.float32)
+        fresh = create_train_state(model, config, 2, jax.random.key(3), p)
+        _, epoch, best, best_ep = restore_checkpoint(
+            config.exp_dir, fresh, "best"
+        )
+        assert epoch == result["best_epoch"] == best_ep
+        assert best == result["best_cd"]

@@ -187,6 +187,7 @@ def train(config: Config, resume: bool = False,
     rng_np = np.random.default_rng(config.seed + 17)
 
     epochs_run = 0
+    pending_best = None  # (device-copied state, epoch) awaiting a disk flush
     for epoch in range(start_epoch, end_epoch + 1):
         # ---- train ----
         train_loader.set_epoch(epoch)
@@ -279,17 +280,39 @@ def train(config: Config, resume: bool = False,
             _save_epoch_png(visual_dir, epoch, viz, config, rng_np)
 
         # ---- checkpoints ----
-        if n_evaluated > 0 and val_total < best_cd_l1:
-            best_epoch_l1, best_cd_l1 = epoch, val_total
-            save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
-                            best_epoch_l1, "best")
-            log.info(f"Save checkpoint at {config.exp_dir}/models/model_best.ckpt")
         # "last" every epoch is the reference's crash-recovery granularity
         # (train.py:268); checkpoint_last_every > 1 trades recovery
         # granularity for epoch time on hosts where the device->host
         # parameter pull is slow (e.g. a tunneled device)
         last_every = max(getattr(config, "checkpoint_last_every", 1), 1)
+        if n_evaluated > 0 and val_total < best_cd_l1:
+            best_epoch_l1, best_cd_l1 = epoch, val_total
+            if last_every > 1:
+                # Defer the disk write: early training improves val almost
+                # every epoch, and each best-save pulls params+opt state to
+                # host (~15 s through a tunneled device).  Keep the pending
+                # best as a device-side copy (jnp.copy — no host transfer)
+                # and flush it on the same cadence as "last", so disk best
+                # and the best_metrics metadata stay mutually consistent at
+                # every flush point.  Selection rule unchanged
+                # (reference train.py:252-265).
+                pending_best = (jax.tree.map(jnp.copy, state), epoch)
+            else:
+                save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
+                                best_epoch_l1, "best")
+                log.info(
+                    f"Save checkpoint at {config.exp_dir}/models/model_best.ckpt"
+                )
         if epoch % last_every == 0 or epoch == end_epoch:
+            if pending_best is not None:
+                b_state, b_epoch = pending_best
+                save_checkpoint(config.exp_dir, b_state, b_epoch, best_cd_l1,
+                                best_epoch_l1, "best")
+                log.info(
+                    f"Save checkpoint at {config.exp_dir}/models/model_best.ckpt"
+                    f" (epoch {b_epoch}, deferred)"
+                )
+                pending_best = None
             save_checkpoint(config.exp_dir, state, epoch, best_cd_l1,
                             best_epoch_l1, "last")
         if config.checkpoint_every and epoch % config.checkpoint_every == 0:
