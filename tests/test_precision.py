@@ -112,3 +112,59 @@ class TestActivationDtype:
         assert dense.dtype == jnp.float32
         assert dense.shape == (1, 64 * 16, 3)
         assert np.isfinite(np.asarray(dense)).all()
+
+class TestVNGrouperF32Island:
+    """The VN grouper is an f32 island under the bf16 policy.
+
+    At the reference's trunc_normal(0.02) reinit (vn_pointr.py:541-553),
+    edge-layer pre-activation norms land at the EPS scale of the
+    norm-BatchNorm fold — each layer's backward amplifies cotangents by up
+    to |b|/EPS (~1e6), compounding to ~1e10 at conv1.  f32 tolerates that
+    (the reference is f32-only); a bf16 backward overflows to inf and NaNs
+    the whole parameter tree in one step (observed on the real 8-category
+    protocol run at step 2).  models/pointr.py pins the trunk to f32.
+    """
+
+    def test_grouper_grads_finite_bf16_tiny_init(self, rng):
+        import optax
+        from vn_pointcloudcompletion_tpu.models.pointr import (
+            VNDGCNNGrouper,
+            reinit_pointr_params,
+        )
+
+        # duplicate-heavy cloud (resample-pad semantics): half the points
+        # are exact copies, making zero edge-differences common
+        base = rng.standard_normal((2, 512, 3)).astype(np.float32) * 0.3
+        xyz = jnp.asarray(np.concatenate([base, base], axis=1))  # (2,1024,3)
+        model = VNDGCNNGrouper()
+        with compute_dtype_scope(jnp.bfloat16):
+            variables = jax.jit(
+                lambda r, x: model.init(r, x, train=True)
+            )(jax.random.key(0), xyz)
+            params = reinit_pointr_params(
+                variables["params"], jax.random.key(1)
+            )
+
+            def loss(p):
+                (coor, f), _ = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    xyz, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(f.astype(jnp.float32) ** 2)
+
+            grads = jax.jit(jax.grad(loss))(params)
+        assert np.isfinite(float(optax.global_norm(grads)))
+
+    def test_grouper_outputs_policy_dtype(self, rng):
+        from vn_pointcloudcompletion_tpu.models.pointr import VNDGCNNGrouper
+
+        xyz = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+        model = VNDGCNNGrouper()
+        variables = model.init(jax.random.key(0), xyz, train=False)
+        coor, f = model.apply(variables, xyz, train=False)
+        assert coor.dtype == jnp.float32 and f.dtype == jnp.float32
+        with compute_dtype_scope(jnp.bfloat16):
+            coor, f = model.apply(variables, xyz, train=False)
+        # island boundary: internals ran f32, the contract hands back bf16
+        assert coor.dtype == jnp.bfloat16 and f.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(f, np.float32)).all()
