@@ -91,6 +91,46 @@ class TestTrainStep:
         state, metrics = step(state, p, c, jax.random.key(1))
         assert float(metrics["dense"]) > 0
 
+    def test_nonfinite_grad_step_skipped(self, rng):
+        """A batch that yields non-finite gradients must not corrupt the
+        state: the guarded step (steps.py::guarded_update) keeps the
+        previous params and reports skipped=1.  Regression for the bf16
+        overflow observed at epoch 64 of the vn_pointr protocol run —
+        one inf gradient reaching Adam turned the model into constant
+        garbage for the rest of training."""
+        config = tiny_config()
+        model = build_model(config)
+        p, c = make_batch(rng)
+        state = create_train_state(model, config, 10, jax.random.key(0), p)
+        step = make_train_step(config, jit=True)
+
+        # clean step: params move, nothing skipped
+        state1, m1 = step(state, p, c, jax.random.key(1))
+        assert float(m1["skipped"]) == 0.0
+        import optax
+        moved = float(
+            optax.global_norm(
+                jax.tree.map(lambda a, b: a - b, state1.params, state.params)
+            )
+        )
+        assert moved > 0
+
+        # poisoned batch -> non-finite loss/grads -> state must be kept
+        p_bad = p.at[0, 0, 0].set(jnp.inf)
+        state2, m2 = step(state1, p_bad, c, jax.random.key(2))
+        assert float(m2["skipped"]) == 1.0
+        unchanged = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state2.params, state1.params,
+        )
+        assert all(jax.tree_util.tree_leaves(unchanged))
+        assert int(state2.step) == int(state1.step)
+
+        # and the run recovers: the next clean step updates again
+        state3, m3 = step(state2, p, c, jax.random.key(3))
+        assert float(m3["skipped"]) == 0.0
+        assert np.isfinite(float(m3["total"]))
+
     @pytest.mark.slow
     def test_vn_pointr_pipeline_train_step(self, rng):
         """Optimizer-level e2e for the vn_pointr pipeline (VNPCTransformer

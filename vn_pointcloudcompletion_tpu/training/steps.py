@@ -26,6 +26,29 @@ from vn_pointcloudcompletion_tpu.ops.rotations import rotate_points, sample_rota
 from vn_pointcloudcompletion_tpu.utils.config import Config
 
 
+def all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every leaf of ``tree`` is finite (no inf/NaN)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.array(True)
+    return jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]).all()
+
+
+def guarded_update(state, new_state, ok):
+    """Select ``new_state`` where ``ok`` else keep ``state`` (skip the step).
+
+    The bf16 compute path can overflow a backward pass on rare batches (the
+    VN norm-BatchNorm fold amplifies cotangents by up to |b|/EPS per layer;
+    observed once at epoch 64 of the vn_pointr protocol run): one inf/NaN
+    gradient reaching Adam permanently corrupts the parameters, after which
+    the model emits constant garbage.  The standard mixed-precision guard —
+    torch.cuda.amp's GradScaler skips the optimizer step on non-finite
+    grads — keeps the previous state instead; the batch is simply dropped.
+    Costs one fused isfinite pass over buffers Adam reads anyway.
+    """
+    return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
+
+
 def _coarse_loss(config: Config, coarse, complete):
     if config.coarse_loss == "cd":
         return cd_loss_l1(coarse, complete)
@@ -73,10 +96,15 @@ def make_train_step(config: Config, jit: bool = True):
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (loss1, loss2, mutated)), grads = grad_fn(state.params)
-        state = state.apply_gradients(
+        ok = jnp.logical_and(all_finite(grads), jnp.isfinite(loss))
+        new_state = state.apply_gradients(
             grads=grads, batch_stats=mutated["batch_stats"]
         )
-        metrics = {"total": loss, "coarse": loss1, "dense": loss2}
+        state = guarded_update(state, new_state, ok)
+        metrics = {
+            "total": loss, "coarse": loss1, "dense": loss2,
+            "skipped": (~ok).astype(jnp.float32),
+        }
         return state, metrics
 
     if jit:

@@ -212,9 +212,11 @@ def train(config: Config, resume: bool = False,
                 )
 
         sums = {"coarse": 0.0, "dense": 0.0, "total": 0.0}
+        n_skipped = 0
         for i, metrics in enumerate(step_metrics):
             train_step_idx = epoch * n_batches + i
             m = {k: float(v) for k, v in metrics.items()}
+            n_skipped += int(m.pop("skipped", 0.0))
             for k in sums:
                 sums[k] += m[k]
             train_writer.add_scalar("Loss/Batch/Coarse", m["coarse"], train_step_idx)
@@ -233,6 +235,14 @@ def train(config: Config, resume: bool = False,
         train_writer.add_scalar("Loss/Epoch/Coarse", sums["coarse"] / denom * 1e3, epoch)
         train_writer.add_scalar("Loss/Epoch/Dense", sums["dense"] / denom * 1e3, epoch)
         train_writer.add_scalar("Loss/Epoch/Total", sums["total"] / denom * 1e3, epoch)
+        if n_skipped:
+            # non-finite grads on some batch: the guarded step kept the
+            # previous params (steps.py::guarded_update) — loud but non-fatal
+            log.warning(
+                f"Epoch {epoch}: skipped {n_skipped}/{n_batches} updates "
+                "with non-finite gradients"
+            )
+            train_writer.add_scalar("Loss/Epoch/SkippedSteps", n_skipped, epoch)
 
         # ---- validate ----
         val = {"coarse": 0.0, "dense": 0.0}
