@@ -168,3 +168,48 @@ class TestVNGrouperF32Island:
         # island boundary: internals ran f32, the contract hands back bf16
         assert coor.dtype == jnp.bfloat16 and f.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(f, np.float32)).all()
+
+class TestVNDGCNNfpsF32Island:
+    """VNDGCNNfps carries the same edge-trunk bf16 hazard as the grouper:
+    the 8-category protocol run showed a chronic ~25% non-finite-gradient
+    skip rate from epoch 0 under bf16 until the trunk was pinned to f32
+    (models/dgcnn.py)."""
+
+    def test_encoder_grads_finite_bf16(self, rng):
+        import optax
+        from vn_pointcloudcompletion_tpu.models.dgcnn import VNDGCNNfps
+
+        # duplicate-heavy cloud: resample-pad semantics make exact copies
+        # (zero edge differences) common in real batches
+        base = rng.standard_normal((2, 512, 3)).astype(np.float32) * 0.3
+        xyz = jnp.asarray(np.concatenate([base, base], axis=1))  # (2,1024,3)
+        model = VNDGCNNfps(num_coarse=64)
+        with compute_dtype_scope(jnp.bfloat16):
+            variables = jax.jit(
+                lambda r, x: model.init(r, x, train=True)
+            )(jax.random.key(0), xyz)
+
+            def loss(p):
+                (coarse, gf), _ = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    xyz, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(coarse.astype(jnp.float32) ** 2) + jnp.sum(
+                    gf.astype(jnp.float32) ** 2
+                )
+
+            grads = jax.jit(jax.grad(loss))(variables["params"])
+        assert np.isfinite(float(optax.global_norm(grads)))
+
+    def test_encoder_outputs_policy_dtype(self, rng):
+        from vn_pointcloudcompletion_tpu.models.dgcnn import VNDGCNNfps
+
+        xyz = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32))
+        model = VNDGCNNfps(num_coarse=64)
+        variables = model.init(jax.random.key(0), xyz, train=False)
+        coarse, gf = model.apply(variables, xyz, train=False)
+        assert coarse.dtype == jnp.float32 and gf.dtype == jnp.float32
+        with compute_dtype_scope(jnp.bfloat16):
+            coarse, gf = model.apply(variables, xyz, train=False)
+        assert coarse.dtype == jnp.bfloat16 and gf.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(gf, np.float32)).all()
