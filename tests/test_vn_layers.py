@@ -275,3 +275,91 @@ class TestEdgeConvDecomposition:
         coor_r, f_r = mod.apply(v, xyz)
         np.testing.assert_allclose(coor_f, coor_r, atol=ATOL)
         np.testing.assert_allclose(f_f, f_r, atol=1e-4)
+
+
+class TestZeroVectorGradients:
+    """Exact-zero vector channels must have finite (zero) norm gradients.
+
+    The reference's torch ``norm`` defines the 2-norm subgradient at 0 as 0;
+    ``jnp.linalg.norm``'s VJP is x/|x| = 0/0 = NaN.  Exact zeros occur
+    in-graph on real data: the PCN loader resample-pads by duplicating
+    points, so edge features (x_j - x_i) of duplicate pairs cancel exactly,
+    and one zero vector NaNs the whole step's gradients (observed as a
+    chronic ~25-40%% skipped-step rate on the vn_dgcnn_fps 8-category run,
+    reference models/vn_layers.py:38-43 semantics).  ``safe_norm`` pins the
+    torch convention.
+    """
+
+    def test_safe_norm_value_and_zero_grad(self, rng):
+        from vn_pointcloudcompletion_tpu.nn.vn import safe_norm
+
+        x = jnp.asarray(rng.standard_normal((4, 3, 5)).astype(np.float32))
+        np.testing.assert_allclose(
+            safe_norm(x, axis=1), jnp.linalg.norm(x, axis=1), rtol=1e-6
+        )
+        # gradient at an exactly-zero vector is 0, not NaN (torch convention)
+        g = jax.grad(lambda v: jnp.sum(safe_norm(v, axis=0)))(jnp.zeros((3, 2)))
+        np.testing.assert_array_equal(g, jnp.zeros((3, 2)))
+        # and matches x/|x| away from zero
+        gx = jax.grad(lambda v: jnp.sum(safe_norm(v, axis=1)))(x)
+        np.testing.assert_allclose(
+            gx, x / jnp.linalg.norm(x, axis=1, keepdims=True), rtol=1e-5
+        )
+
+    def test_reference_epilogue_zero_vector_grad_finite(self, rng):
+        from vn_pointcloudcompletion_tpu.ops import vn_fused
+
+        b, c, n = 2, 8, 16
+        p = rng.standard_normal((b, 3, c, n)).astype(np.float32)
+        d = rng.standard_normal((b, 3, c, n)).astype(np.float32)
+        p[:, :, 2, :] = 0.0  # a whole zero channel (duplicate-pair edges)
+        p[0, :, 0, 3] = 0.0  # and one isolated zero vector
+        a = rng.standard_normal(c).astype(np.float32)
+        bb = rng.standard_normal(c).astype(np.float32)
+
+        def loss(p, d, a, bb):
+            return jnp.sum(
+                vn_fused.reference_bn_leaky_planes(
+                    jnp.asarray(p), jnp.asarray(d), jnp.asarray(a),
+                    jnp.asarray(bb), 0.2
+                )
+            )
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(p, d, a, bb)
+        for g in grads:
+            assert bool(jnp.all(jnp.isfinite(g))), "non-finite gradient"
+
+    def test_vn_linear_leaky_relu_zero_input_vector_grad_finite(self, rng):
+        x = rng.standard_normal((2, 3, 4, 16)).astype(np.float32)
+        x[:, :, :, 5] = 0.0  # a zero POINT: all channels zero at one point
+        x = jnp.asarray(x)
+        # fused=False pins the reference (pure-XLA) path — the one whose
+        # autodiff hits jnp.linalg.norm
+        mod = VNLinearLeakyReLU(8, layout="plane", fused=False)
+        variables = mod.init(jax.random.key(0), x, train=True)
+
+        def loss(params):
+            out, _ = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+    def test_vn_batchnorm_zero_vector_grad_finite(self, rng):
+        x = rng.standard_normal((2, 4, 3, 16)).astype(np.float32)
+        x[1, 2, :, :] = 0.0
+        x = jnp.asarray(x)
+        mod = VNBatchNorm(4)
+        variables = mod.init(jax.random.key(0), x, train=True)
+
+        def loss(xin):
+            out, _ = mod.apply(variables, xin, train=True,
+                               mutable=["batch_stats"])
+            return jnp.sum(out)
+
+        g = jax.grad(loss)(x)
+        assert bool(jnp.all(jnp.isfinite(g)))

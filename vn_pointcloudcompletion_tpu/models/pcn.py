@@ -29,6 +29,7 @@ from vn_pointcloudcompletion_tpu.nn.vn import (
     VNLinearAndLeakyReLU,
     VNLinearLeakyReLU,
     VNMaxPool,
+    safe_norm,
 )
 from vn_pointcloudcompletion_tpu.ops.fps import fps
 from vn_pointcloudcompletion_tpu.ops.grid import folding_grid_2d, folding_grid_3d
@@ -85,7 +86,7 @@ class _VNSplitFoldLayer(nn.Module):
         bn = _FoldedBN(self.out_channels, name="batchnorm")
         if train:
             ct = jnp.promote_types(p.dtype, jnp.float32)
-            norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
+            norm = safe_norm(p.astype(ct), axis=1) + EPS
             a, b = bn(norm, True)
         else:
             a, b = bn(None, False)
@@ -223,7 +224,7 @@ class _VNSplitPairFoldLayer(nn.Module):
         bn = _FoldedBN(self.out_channels, name="batchnorm")
         if train:
             ct = jnp.promote_types(p.dtype, jnp.float32)
-            norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
+            norm = safe_norm(p.astype(ct), axis=1) + EPS
             a, bb = bn(norm, True)
         else:
             a, bb = bn(None, False)

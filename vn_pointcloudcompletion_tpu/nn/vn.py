@@ -21,6 +21,23 @@ import numpy as np
 EPS = 1e-6  # models/vn_layers.py:10
 
 
+def safe_norm(x, axis, keepdims: bool = False):
+    """L2 norm whose gradient is 0 (not NaN) at exactly-zero vectors.
+
+    ``jnp.linalg.norm``'s VJP is x/|x| — 0/0 = NaN for an all-zero vector.
+    Exact zeros DO occur in-graph: under the bf16 compute policy, edge
+    features of near-duplicate points cancel exactly (the PCN loader
+    duplicates points when resample-padding), and one zero vector NaNs the
+    whole step's gradients (observed: ~40% of vn_dgcnn_fps train steps
+    skipped on real data without this guard). The double-where keeps the
+    backward finite; value is identical to jnp.linalg.norm. Matches the
+    Pallas backward kernels' own guard (ops/vn_fused.py:134).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def torch_linear_init(key, shape, dtype=jnp.float32):
     """torch ``nn.Linear(bias=False)`` default init: U(-1/sqrt(fan_in), +...).
 
@@ -152,7 +169,7 @@ class VNBatchNorm(nn.Module):
     def __call__(self, x, train: bool = False):
         # statistics always in f32 (bf16 norms drift BN running stats)
         ct = jnp.promote_types(x.dtype, jnp.float32)
-        norm = jnp.linalg.norm(x.astype(ct), axis=2) + EPS  # (B, C, N...)
+        norm = safe_norm(x.astype(ct), axis=2) + EPS  # (B, C, N...)
         c = norm.shape[1]
         # _NormAffine, not flax nn.BatchNorm: torch updates running_var with
         # the UNBIASED batch variance (flax uses biased), and the name keeps
@@ -174,7 +191,7 @@ class VNLayerNorm(nn.Module):
     def __call__(self, x):
         # x: (B, C, 3, N); statistics in f32
         ct = jnp.promote_types(x.dtype, jnp.float32)
-        norm = jnp.linalg.norm(x.astype(ct), axis=2) + EPS  # (B, C, N)
+        norm = safe_norm(x.astype(ct), axis=2) + EPS  # (B, C, N)
         norm_t = norm.transpose(0, 2, 1)  # (B, N, C) — LN over C
         norm_l = nn.LayerNorm(epsilon=1e-5)(norm_t)  # torch LayerNorm eps
         norm_l = norm_l.transpose(0, 2, 1)  # (B, C, N)
@@ -324,7 +341,7 @@ class VNLinearLeakyReLU(nn.Module):
             bn = _FoldedBN(co, name="batchnorm")
             if train:
                 ct = jnp.promote_types(p.dtype, jnp.float32)
-                norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
+                norm = safe_norm(p.astype(ct), axis=1) + EPS
                 a, b_ = bn(norm, True)
             else:
                 a, b_ = bn(None, False)
@@ -409,7 +426,7 @@ class VNLinearLeakyReLU(nn.Module):
             bn = _FoldedBN(self.out_channels, name="batchnorm")
             if train:
                 ct = jnp.promote_types(p.dtype, jnp.float32)
-                norm = jnp.linalg.norm(p.astype(ct), axis=1) + EPS
+                norm = safe_norm(p.astype(ct), axis=1) + EPS
                 a, b = bn(norm, True)
             else:
                 a, b = bn(None, False)
@@ -520,10 +537,10 @@ class VNStdFeature(nn.Module):
 
         if self.normalize_frame:
             v1 = z0[:, 0]  # (B, 3, ...)
-            u1 = v1 / (jnp.sqrt(jnp.sum(v1 * v1, axis=1, keepdims=True)) + EPS)
+            u1 = v1 / (safe_norm(v1, axis=1, keepdims=True) + EPS)
             v2 = z0[:, 1]
             v2 = v2 - jnp.sum(v2 * u1, axis=1, keepdims=True) * u1
-            u2 = v2 / (jnp.sqrt(jnp.sum(v2 * v2, axis=1, keepdims=True)) + EPS)
+            u2 = v2 / (safe_norm(v2, axis=1, keepdims=True) + EPS)
             u3 = jnp.cross(u1, u2, axis=1)
             z0 = jnp.stack([u1, u2, u3], axis=1)
 
