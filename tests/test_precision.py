@@ -113,16 +113,16 @@ class TestActivationDtype:
         assert dense.shape == (1, 64 * 16, 3)
         assert np.isfinite(np.asarray(dense)).all()
 
-class TestVNGrouperF32Island:
-    """The VN grouper is an f32 island under the bf16 policy.
+class TestVNGrouperBF16Trunk:
+    """The VN grouper trunk must train stably under the bf16 policy.
 
-    At the reference's trunc_normal(0.02) reinit (vn_pointr.py:541-553),
-    edge-layer pre-activation norms land at the EPS scale of the
-    norm-BatchNorm fold — each layer's backward amplifies cotangents by up
-    to |b|/EPS (~1e6), compounding to ~1e10 at conv1.  f32 tolerates that
-    (the reference is f32-only); a bf16 backward overflows to inf and NaNs
-    the whole parameter tree in one step (observed on the real 8-category
-    protocol run at step 2).  models/pointr.py pins the trunk to f32.
+    The historical hazard: a real 8-category bf16 protocol run NaNed at
+    step 2, bisected to the grouper trunk.  Root cause was the norm VJP at
+    exactly-zero edge vectors (duplicate points cancel exactly; bf16 makes
+    near-duplicates cancel too) — now guarded by ``nn.vn.safe_norm``, so
+    the trunk runs bf16 end-to-end (it was briefly an f32 island).  This
+    repro (reference trunc_normal(0.02) reinit + duplicate-heavy cloud)
+    NaNed before the guard and pins the fix.
     """
 
     def test_grouper_grads_finite_bf16_tiny_init(self, rng):
@@ -165,15 +165,15 @@ class TestVNGrouperF32Island:
         assert coor.dtype == jnp.float32 and f.dtype == jnp.float32
         with compute_dtype_scope(jnp.bfloat16):
             coor, f = model.apply(variables, xyz, train=False)
-        # island boundary: internals ran f32, the contract hands back bf16
+        # policy boundary: under bf16 the contract hands back bf16
         assert coor.dtype == jnp.bfloat16 and f.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(f, np.float32)).all()
 
-class TestVNDGCNNfpsF32Island:
+class TestVNDGCNNfpsBF16Trunk:
     """VNDGCNNfps carries the same edge-trunk bf16 hazard as the grouper:
     the 8-category protocol run showed a chronic ~25% non-finite-gradient
-    skip rate from epoch 0 under bf16 until the trunk was pinned to f32
-    (models/dgcnn.py)."""
+    skip rate from epoch 0 under bf16 until the zero-vector norm VJP was
+    guarded (``nn.vn.safe_norm``); the trunk runs bf16 end-to-end."""
 
     def test_encoder_grads_finite_bf16(self, rng):
         import optax

@@ -199,57 +199,51 @@ class VNDGCNNfps(nn.Module):
     Returns vector-valued ``feature_global`` (B, 512, 3, 1) and coarse points
     predicted as vector channels by the ``conv7`` head.
 
-    The trunk is an **f32 island** under the bf16 policy, for the same
-    reason as ``VNDGCNNGrouper`` (models/pointr.py): edge-difference
-    features of duplicate-heavy clouds (resample-pad makes exact copies
-    common) put pre-activation vector norms at the EPS scale of the
-    norm-BatchNorm fold a + b/(|p|+EPS), and each edge layer's backward
-    amplifies cotangents by up to |b|/EPS.  f32 absorbs that (as the
-    f32-only reference does); a bf16 backward overflows to inf —
-    measured as a chronic ~25% non-finite-gradient skip rate from epoch 0
-    on the 8-category protocol run.  The policy's bf16 region starts at
-    the returned (coarse, global_feature).
+    bf16-policy note: this trunk was briefly an f32 island after the
+    8-category bf16 protocol run showed a chronic ~25% non-finite-gradient
+    skip rate.  The actual hazard was the norm VJP at exactly-zero edge
+    vectors (resample-pad makes exact duplicate points; under bf16
+    near-duplicates cancel exactly too), which ``nn.vn.safe_norm`` now
+    guards — with the guard, bf16 trunk gradients match the f32 island's
+    magnitude on the deterministic repro (tests/test_precision.py) and
+    real-data trajectories track; the island was removed to recover the
+    ~17% train throughput it cost.
     """
 
     num_coarse: int = 1024
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
-        from vn_pointcloudcompletion_tpu.nn.precision import (
-            activation_dtype,
-            compute_dtype_scope,
-        )
+        from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
 
         nc = self.num_coarse // 2 if self.num_coarse == 448 else self.num_coarse
         b, n, _ = xyz.shape
-        out_dtype = activation_dtype(xyz).dtype
-        with compute_dtype_scope(jnp.float32):
-            xyz = xyz.astype(jnp.promote_types(xyz.dtype, jnp.float32))
-            coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-            x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
+        xyz = activation_dtype(xyz)
+        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+        x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
 
-            # dynamic graph on raw coords (first layer: feature space == coords)
-            f = _edge_vn_planes(x, 16)  # (B, 3, 2, N*16)
-            f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(f, train=train)
-            x1 = _pool_edge_planes(f, n, 16)  # (B, 3, 32, N)
+        # dynamic graph on raw coords (first layer: feature space == coords)
+        f = _edge_vn_planes(x, 16)  # (B, 3, 2, N*16)
+        f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(f, train=train)
+        x1 = _pool_edge_planes(f, n, 16)  # (B, 3, 32, N)
 
-            coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-            f = vn_edge_layer(f_q, 64, "conv4", coords=coor_q, train=train)
-            f = vn_edge_layer(f, 128, "conv5", coords=coor_q, train=train)
-            coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-            f = vn_edge_layer(f_q, 512, "conv6", coords=coor_q, train=train)
-            # (B, 3, 512, 128)
+        coor_q, f_q = fps_downsample_vn(coor, x1, 512)
+        f = vn_edge_layer(f_q, 64, "conv4", coords=coor_q, train=train)
+        f = vn_edge_layer(f, 128, "conv5", coords=coor_q, train=train)
+        coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
+        f = vn_edge_layer(f_q, 512, "conv6", coords=coor_q, train=train)
+        # (B, 3, 512, 128)
 
-            gf_planes = VNMaxPool(layout="plane", name="pool5")(f)[..., None]
-            h = VNLinearLeakyReLU(1024, layout="plane", name="conv7_0")(
-                gf_planes, train=train
-            )
-            coarse = VNLinear(nc, layout="plane", name="conv7_1")(h)  # (B, 3, nc, 1)
-        coarse = coarse[..., 0].transpose(0, 2, 1).astype(out_dtype)  # (B, nc, 3)
-        global_feature = jnp.swapaxes(gf_planes, 1, 2).astype(out_dtype)
+        gf_planes = VNMaxPool(layout="plane", name="pool5")(f)[..., None]
+        h = VNLinearLeakyReLU(1024, layout="plane", name="conv7_0")(
+            gf_planes, train=train
+        )
+        coarse = VNLinear(nc, layout="plane", name="conv7_1")(h)  # (B, 3, nc, 1)
+        coarse = coarse[..., 0].transpose(0, 2, 1)  # (B, nc, 3)
+        global_feature = jnp.swapaxes(gf_planes, 1, 2)
 
         if nc == 224:
-            inp_sparse = fps(xyz, 224).astype(out_dtype)
+            inp_sparse = fps(xyz, 224).astype(coarse.dtype)
             coarse_cat = jnp.concatenate([coarse, inp_sparse], axis=1)
             return (coarse, coarse_cat), global_feature
         return coarse, global_feature

@@ -72,17 +72,14 @@ class VNDGCNNGrouper(nn.Module):
     build *dynamic* kNN graphs in flattened feature space (the reference calls
     ``vn_get_graph_feature`` without ``x_coord`` — :231-242).
 
-    The trunk is an **f32 island** under the bf16 policy: at the reference's
-    trunc_normal(std=0.02) init (vn_pointr.py:541-553 reinits every Linear,
-    the grouper's VN layers included), edge-difference features are ~1e-2 and
-    pre-activation vector norms land at 1e-4..1e-6 — the EPS scale of the
-    norm-BatchNorm fold ``a + b/(|p|+EPS)``.  Each edge layer's BN backward
-    then amplifies cotangents by up to |b|/EPS ~ 1e6, compounding to ~1e10
-    parameter gradients at conv1 (measured; finite and Adam-tolerated in f32,
-    exactly as the f32-only reference behaves, but the compounded bf16
-    backward overflows to inf and NaNs the run in one step).  Keeping the
-    trunk's activations f32 keeps its backward f32 — the policy's bf16 region
-    starts at the returned features.
+    bf16-policy note: this trunk was briefly an f32 island after a bf16
+    protocol run NaNed at step 2.  The actual hazard was the norm VJP at
+    exactly-zero edge vectors (duplicate points cancel exactly; under bf16
+    near-duplicates cancel too), which ``nn.vn.safe_norm`` now guards —
+    with the guard, bf16 trunk gradients match the f32 island's magnitude
+    on the deterministic repro (tests/test_precision.py) and real-data
+    trajectories track; the island was removed to recover the ~12%% train
+    throughput it cost.
     """
 
     @nn.compact
@@ -92,35 +89,27 @@ class VNDGCNNGrouper(nn.Module):
             _pool_edge_planes,
             vn_edge_layer,
         )
-        from vn_pointcloudcompletion_tpu.nn.precision import (
-            activation_dtype,
-            compute_dtype_scope,
-        )
+        from vn_pointcloudcompletion_tpu.nn.precision import activation_dtype
 
         n = xyz.shape[1]
-        out_dtype = activation_dtype(xyz).dtype
-        with compute_dtype_scope(jnp.float32):
-            xyz = xyz.astype(jnp.promote_types(xyz.dtype, jnp.float32))
-            coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
-            x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
+        xyz = activation_dtype(xyz)
+        coor = xyz.transpose(0, 2, 1)  # (B, 3, N)
+        x = coor[:, :, None, :]  # plane layout (B, 3, 1, N)
 
-            f = _edge_vn_planes(x, 16)
-            f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(
-                f, train=train
-            )
-            x1 = _pool_edge_planes(f, n, 16)
-
-            # layers 2-4: dynamic feature-space graphs (no coords passed)
-            coor_q, f_q = fps_downsample_vn(coor, x1, 512)
-            f = vn_edge_layer(f_q, 64, "conv4", train=train)
-            f = vn_edge_layer(f, 64, "conv5", train=train)
-            coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
-            f = vn_edge_layer(f_q, 128, "conv6", train=train)  # (B,3,128,128)
-        # public contract stays vec layout (B, 128, 3, 128)
-        return (
-            coor_q.astype(out_dtype),
-            jnp.swapaxes(f, 1, 2).astype(out_dtype),
+        f = _edge_vn_planes(x, 16)
+        f = VNLinearLeakyReLU(32, layout="plane", name="conv1")(
+            f, train=train
         )
+        x1 = _pool_edge_planes(f, n, 16)
+
+        # layers 2-4: dynamic feature-space graphs (no coords passed)
+        coor_q, f_q = fps_downsample_vn(coor, x1, 512)
+        f = vn_edge_layer(f_q, 64, "conv4", train=train)
+        f = vn_edge_layer(f, 64, "conv5", train=train)
+        coor_q, f_q = fps_downsample_vn(coor_q, f, 128)
+        f = vn_edge_layer(f_q, 128, "conv6", train=train)  # (B,3,128,128)
+        # public contract stays vec layout (B, 128, 3, 128)
+        return coor_q, jnp.swapaxes(f, 1, 2)
 
 
 _CONV_NAMES = (
