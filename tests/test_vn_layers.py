@@ -285,7 +285,7 @@ class TestZeroVectorGradients:
     in-graph on real data: the PCN loader resample-pads by duplicating
     points, so edge features (x_j - x_i) of duplicate pairs cancel exactly,
     and one zero vector NaNs the whole step's gradients (observed as a
-    chronic ~25-40%% skipped-step rate on the vn_dgcnn_fps 8-category run,
+    chronic ~25-40% skipped-step rate on the vn_dgcnn_fps 8-category run,
     reference models/vn_layers.py:38-43 semantics).  ``safe_norm`` pins the
     torch convention.
     """

@@ -78,8 +78,11 @@ class VNDGCNNGrouper(nn.Module):
     near-duplicates cancel too), which ``nn.vn.safe_norm`` now guards —
     with the guard, bf16 trunk gradients match the f32 island's magnitude
     on the deterministic repro (tests/test_precision.py) and real-data
-    trajectories track; the island was removed to recover the ~12%% train
-    throughput it cost.
+    trajectories track; the island was removed to recover the ~12% train
+    throughput it cost.  Note the island removal also moved FPS selection
+    and kNN graph construction onto bf16-rounded coordinates (fps casts to
+    f32 internally, but from already-rounded input) — sample/neighbour
+    *selection* may differ from f32, not just the norm path.
     """
 
     @nn.compact

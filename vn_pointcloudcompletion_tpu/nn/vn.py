@@ -31,7 +31,8 @@ def safe_norm(x, axis, keepdims: bool = False):
     whole step's gradients (observed: ~40% of vn_dgcnn_fps train steps
     skipped on real data without this guard). The double-where keeps the
     backward finite; value is identical to jnp.linalg.norm. Matches the
-    Pallas backward kernels' own guard (ops/vn_fused.py:134).
+    ``inv_pnorm`` guard in the Pallas backward kernels
+    (ops/vn_fused.py::_bwd_kernel).
     """
     sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
     pos = sq > 0

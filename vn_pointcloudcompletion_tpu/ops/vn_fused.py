@@ -56,16 +56,15 @@ def _tc_for(c: int) -> int:
 
 def reference_bn_leaky_planes(p, d, a, b, negative_slope):
     """Pure-jnp reference on (B, 3, C, N) planes (also the fallback path)."""
+    # the zero-norm subgradient convention lives in ONE place (nn.vn.safe_norm
+    # == the inv_pnorm guard in _bwd_kernel below); imported here rather than
+    # re-implemented so the copies can't drift (local import: nn imports ops)
+    from vn_pointcloudcompletion_tpu.nn.vn import safe_norm
+
     ct = jnp.promote_types(p.dtype, jnp.float32)  # f64 passes through
     p32 = p.astype(ct)
     d32 = d.astype(ct)
-    # guarded norm: jnp.linalg.norm's VJP is 0/0 = NaN at an exactly-zero
-    # vector, which bf16 edge-feature cancellation does produce on real
-    # data; the double-where keeps the backward finite (= _bwd_kernel's
-    # inv_pnorm guard below) while the value is unchanged
-    sq = jnp.sum(p32 * p32, axis=1)
-    pos = sq > 0
-    norm_e = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0) + EPS
+    norm_e = safe_norm(p32, axis=1) + EPS
     s = (a[None, :, None] + b[None, :, None] / norm_e)[:, None]
     q = p32 * s
     dot = jnp.sum(q * d32, axis=1, keepdims=True)

@@ -87,7 +87,9 @@ def main():
         # still time cleanly)
         chunk = 2
         best = 0.0
-        for _ in range(iters // chunk):
+        # max(1, ...): iters < chunk must still time one chunk, or ``best``
+        # stays 0.0 and speedup_vs_1 divides by zero
+        for _ in range(max(1, iters // chunk)):
             t0 = time.perf_counter()
             for _ in range(chunk):
                 key, k = jax.random.split(key)

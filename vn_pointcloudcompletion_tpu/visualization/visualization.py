@@ -11,6 +11,24 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def o3d_visualize_pc(pc: np.ndarray) -> None:
+    """Interactive point-cloud viewer (reference ``visualization.py:6-9``).
+
+    Host-side utility for manual inspection; requires open3d (optional —
+    not part of the training/eval path, which uses :func:`plot_pcd_one_view`).
+    """
+    try:
+        import open3d as o3d
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "o3d_visualize_pc needs the optional open3d package; the "
+            "render path (plot_pcd_one_view) is matplotlib-only"
+        ) from e
+    pcd = o3d.geometry.PointCloud()
+    pcd.points = o3d.utility.Vector3dVector(np.asarray(pc, dtype=np.float64))
+    o3d.visualization.draw_geometries([pcd])
+
+
 def plot_pcd_one_view(
     filename: str,
     pcds: Sequence[np.ndarray],
