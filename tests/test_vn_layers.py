@@ -250,6 +250,46 @@ class TestEdgeConvDecomposition:
             ge, gl,
         )
 
+    def test_edge_kernel_matches_decomposed(self, rng, monkeypatch):
+        """The whole-stage Pallas program (edge_k= mode, interpret on CPU)
+        must match the knn + edge_idx decomposition in outputs, stats, and
+        gradients."""
+        monkeypatch.setenv("VN_EDGE_KERNEL", "1")
+        from vn_pointcloudcompletion_tpu.models.dgcnn import _edge_idx_planes
+
+        b, c, n, k = 2, 8, 32, 16
+        x = jnp.asarray(rng.standard_normal((b, 3, c, n)).astype(np.float32))
+        idx = _edge_idx_planes(x, k)
+        mod = VNLinearLeakyReLU(12, layout="plane")
+        variables = mod.init(jax.random.key(0), x, edge_idx=idx)
+
+        out_k, up_k = mod.apply(
+            variables, x, train=True, edge_k=k, mutable=["batch_stats"]
+        )
+        out_i, up_i = mod.apply(
+            variables, x, train=True, edge_idx=idx, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(out_k, out_i, atol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, atol=1e-5),
+            up_k, up_i,
+        )
+
+        def loss(params, x, use_kernel):
+            kw = {"edge_k": k} if use_kernel else {"edge_idx": idx}
+            out, _ = mod.apply(
+                {**variables, "params": params}, x, train=True,
+                mutable=["batch_stats"], **kw,
+            )
+            return jnp.sum(out * out)
+
+        gk = jax.grad(loss, argnums=(0, 1))(variables["params"], x, True)
+        gi = jax.grad(loss, argnums=(0, 1))(variables["params"], x, False)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(a, b_, atol=5e-4),
+            gk, gi,
+        )
+
     def test_onehot_gather_matches_take(self, rng):
         from vn_pointcloudcompletion_tpu.ops.knn import gather_planes
 

@@ -180,6 +180,31 @@ def main() -> int:
              == np.sort(np.asarray(ri2), -1)).all(),
     ))
 
+    # 5c) whole-stage EdgeConv gather kernel vs knn + take + add
+    from vn_pointcloudcompletion_tpu.ops.knn_pallas import edge_knn_gather
+
+    xf = jnp.asarray(rng.standard_normal((2, 96, 512)), jnp.float32)
+    ue = jnp.asarray(rng.standard_normal((2, 384, 512)), jnp.float32)
+    ve = jnp.asarray(rng.standard_normal((2, 384, 512)), jnp.float32)
+
+    def edge_both(xf, ue, ve):
+        got = edge_knn_gather(xf, ue, ve, 16, interp)  # (B, C3, K, N)
+        _, ei = jax.lax.top_k(
+            -pairwise_sqdist(jnp.swapaxes(xf, 1, 2), jnp.swapaxes(xf, 1, 2)),
+            16)
+        gat = jnp.take_along_axis(
+            ue[:, :, None, :], ei.swapaxes(1, 2)[:, None], axis=3)
+        return got, gat + ve[:, :, None, :]
+
+    got, want = jax.jit(edge_both)(xf, ue, ve)
+    # neighbour SETS must agree (ordering ties differ between extraction
+    # and top_k); compare the K-sets per point via sorted values
+    results.append(_check(
+        "edge_knn_gather",
+        np.allclose(np.sort(np.asarray(got), axis=2),
+                    np.sort(np.asarray(want), axis=2), atol=1e-4),
+    ))
+
     # 6) FPS kernel vs the jnp greedy loop
     import vn_pointcloudcompletion_tpu.ops.fps_pallas as fp
     from vn_pointcloudcompletion_tpu.ops.fps import furthest_point_sample

@@ -124,9 +124,11 @@ def vn_edge_layer(x, out, name, k=16, coords=None, train=False):
     """
     c, n = x.shape[2], x.shape[3]
     if c >= 16 and edge_fused_enabled():
-        idx = _edge_idx_planes(x, k, coords)
+        # edge_k: the layer builds the graph itself — on TPU the whole stage
+        # front (kNN + gather + centre add) is one Pallas program; the layer
+        # falls back to knn + edge_idx when the kernel is ineligible
         return VNLinearLeakyReLU(out, layout="plane", name=name)(
-            x, train=train, edge_idx=idx
+            x, train=train, edge_k=k, edge_coords=coords
         )
     f = _edge_vn_planes(x, k, coords)
     f = VNLinearLeakyReLU(out, layout="plane", name=name)(f, train=train)

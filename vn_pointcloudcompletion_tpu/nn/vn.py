@@ -21,6 +21,21 @@ import numpy as np
 EPS = 1e-6  # models/vn_layers.py:10
 
 
+def edge_kernel_enabled() -> bool:
+    """Whether ``edge_k`` EdgeConv stages run the whole-stage Pallas program
+    (ops/knn_pallas.py::edge_knn_gather: kNN + gather + centre add in one
+    kernel).  ``VN_EDGE_KERNEL`` ∈ {1, 0, auto}; auto engages on TPU only
+    (=1 elsewhere runs the kernel in interpret mode, for tests)."""
+    import os
+
+    mode = os.environ.get("VN_EDGE_KERNEL", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def safe_norm(x, axis, keepdims: bool = False):
     """L2 norm whose gradient is 0 (not NaN) at exactly-zero vectors.
 
@@ -297,6 +312,7 @@ class VNLinearLeakyReLU(nn.Module):
     @nn.compact
     def __call__(
         self, x, train: bool = False, project_out=None, edge_idx=None,
+        edge_k=None, edge_coords=None,
     ):
         """``project_out``: optional (1, C_out) kernel of a trailing
         1-channel VNLinear (owned by the CALLER's scope) — on the fused-layer
@@ -313,11 +329,21 @@ class VNLinearLeakyReLU(nn.Module):
         the gather moves post-matmul channels via :func:`ops.knn.gather_planes`.
         Parameter tree and math are identical to composing
         ``vn_graph_feature_planes`` + this layer + a K-mean
-        (reference ``models/dgcnn.py:250-278`` + ``vn_layers.py:46-74``)."""
+        (reference ``models/dgcnn.py:250-278`` + ``vn_layers.py:46-74``).
+
+        ``edge_k``: EdgeConv mode with the kNN graph built IN the layer — on
+        TPU the whole stage front (distances, k-extraction, gather, centre
+        add) runs as one Pallas program (ops/knn_pallas.py::edge_knn_gather)
+        so neither the indices, the one-hot operand, nor the distance matrix
+        exist in HBM; elsewhere it falls back to knn + the edge_idx path.
+        The metric is euclidean over ``edge_coords`` (B, 3, N) columns when
+        given (fixed coordinate graph), else over the flattened features
+        (the reference's dynamic graph)."""
         from vn_pointcloudcompletion_tpu.ops import vn_fused, vn_layer_fused
 
-        if edge_idx is not None:
-            from vn_pointcloudcompletion_tpu.ops.knn import gather_planes
+        if edge_idx is not None or edge_k is not None:
+            from vn_pointcloudcompletion_tpu.ops import knn_pallas
+            from vn_pointcloudcompletion_tpu.ops.knn import gather_planes, knn
 
             if self.layout != "plane":
                 raise ValueError("edge mode requires plane layout")
@@ -326,16 +352,45 @@ class VNLinearLeakyReLU(nn.Module):
             w = self.param("kernel", torch_linear_init, (co, 2 * c))
             d_out = 1 if self.share_nonlinearity else co
             wd = self.param("dir_kernel", torch_linear_init, (d_out, 2 * c))
-            k = edge_idx.shape[2]
+            k = edge_idx.shape[2] if edge_idx is not None else edge_k
             # stack feature+direction maps: one per-point matmul, one gather
             w_diff = jnp.concatenate([w[:, :c], wd[:, :c]], axis=0)
             w_ctr = jnp.concatenate([w[:, c:], wd[:, c:]], axis=0)
             u = _channel_linear_plane(w_diff, x)  # (B, 3, Co+Do, N)
             v = _channel_linear_plane(w_ctr - w_diff, x)
-            g = gather_planes(u, edge_idx)  # (B, 3, Co+Do, Nq*K)
-            nq = edge_idx.shape[1]
-            pd = g.reshape(b, 3, -1, nq, k) + v[:, :, :, :, None]
-            pd = pd.reshape(b, 3, -1, nq * k)
+            cpd = u.shape[2]
+            use_kernel = (
+                edge_idx is None
+                and edge_kernel_enabled()
+                and knn_pallas.edge_gather_eligible(
+                    n, 3 if edge_coords is not None else 3 * c, k, 3 * cpd
+                )
+            )
+            nq = n
+            if use_kernel:
+                xflat = (
+                    edge_coords if edge_coords is not None
+                    else x.reshape(b, 3 * c, n)
+                )
+                # graph structure from full precision, matching knn's cast
+                pd4 = knn_pallas.edge_knn_gather(
+                    xflat, u.reshape(b, 3 * cpd, n), v.reshape(b, 3 * cpd, n),
+                    k, jax.default_backend() != "tpu",
+                )  # (B, 3*Cpd, K, N)
+                pd = pd4.reshape(b, 3, cpd, k * n)
+                pool_kn = True  # edge axis order is (K, Nq)
+            else:
+                if edge_idx is None:
+                    flat = (
+                        edge_coords if edge_coords is not None
+                        else x.reshape(b, 3 * c, n)
+                    ).transpose(0, 2, 1)
+                    _, edge_idx = knn(flat, flat, k)
+                nq = edge_idx.shape[1]
+                g = gather_planes(u, edge_idx)  # (B, 3, Co+Do, Nq*K)
+                pd = g.reshape(b, 3, -1, nq, k) + v[:, :, :, :, None]
+                pd = pd.reshape(b, 3, -1, nq * k)
+                pool_kn = False  # edge axis order is (Nq, K)
             p, d = pd[:, :, :co], pd[:, :, co:]
             if self.share_nonlinearity:
                 d = jnp.broadcast_to(d, p.shape)
@@ -360,7 +415,10 @@ class VNLinearLeakyReLU(nn.Module):
                 out = vn_fused.reference_bn_leaky_planes(
                     p, d, a, b_, self.negative_slope
                 )
-            out = out.reshape(b, 3, co, nq, k).mean(axis=-1)
+            if pool_kn:
+                out = out.reshape(b, 3, co, k, nq).mean(axis=3)
+            else:
+                out = out.reshape(b, 3, co, nq, k).mean(axis=-1)
             if project_out is not None:
                 out = _channel_linear_plane(project_out, out)
             return out

@@ -250,3 +250,156 @@ def _knn_bwd(k, interpret, res, cts):
 
 
 knn_min_pallas.defvjp(_knn_fwd, _knn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage EdgeConv gather: kNN + neighbour gather + centre add in ONE
+# program — the (B, N, k) index tensor, the (B, N*k, N) one-hot operand and
+# the pairwise distances never exist in HBM.
+#
+# The VN groupers' dynamic-graph stages (models/dgcnn.py::vn_edge_layer)
+# decompose into knn -> gather_planes(one-hot einsum) -> add — ~4 XLA ops
+# per stage whose intermediates round-trip HBM while each individual op
+# underutilises the chip (the round-3 decomposition: ~12 small latency-bound
+# ops, no single dominator).  Here each program holds a (TN, M) distance
+# tile (cross terms via one MXU dot, HIGHEST — bit-matching knn_min_pallas'
+# neighbour selection), extracts the k indices in place, and gathers the
+# pre-transformed features with k in-VMEM one-hot matmuls (0/1 x value with
+# f32 accumulation is exact in bf16).  Replaces the same reference surface
+# as the composition: KNN_CUDA + vn_get_graph_feature
+# (models/utils/dgcnn_util.py:46-74, models/pointr/utils/dgcnn_group.py:
+# 231-242).
+#
+# out[b, :, kk, q] = u[b, :, idx[b, q, kk]] + v[b, :, q]   (kk < k)
+# where idx = k nearest columns of xflat (ascending, ties -> smallest).
+# Gradients flow to u and v only (indices are piecewise constant in the
+# features, matching the unfused path where the kNN distances are unused).
+# ---------------------------------------------------------------------------
+
+
+def edge_gather_eligible(n: int, d: int, k: int, c3: int) -> bool:
+    # k is the sublane axis of the (C3, k, TN) output block: keep it
+    # tile-aligned for both f32 and bf16 (every grouper stage uses k=16)
+    return n <= 2048 and d <= _MAX_D and k in (16, 32) and c3 <= 1536
+
+
+def _edge_kernel(xq_ref, xr_ref, u_ref, v_ref, out_ref, idx_ref,
+                 *, k, m, m_pad, kp):
+    xq = xq_ref[0].astype(jnp.float32)    # (D_pad, TN)
+    xr = xr_ref[0].astype(jnp.float32)    # (D_pad, M_pad)
+    cross = jax.lax.dot_general(
+        xq, xr, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                      # (TN, M_pad)
+    q_sq = jnp.sum(xq * xq, axis=0)[:, None]
+    r_sq = jnp.sum(xr * xr, axis=0)[None, :]
+    dist = q_sq + r_sq - 2.0 * cross
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    if m_pad != m:
+        dist = jnp.where(col < m, dist, _BIG)
+    _, idx = _extract_k_min(dist, k, kp)  # (TN, kp)
+    idx_ref[0] = idx
+    u = u_ref[0]                           # (C3p, M_pad)
+    v = v_ref[0]                           # (C3p, TN)
+    for kk in range(k):
+        # one-hot row-select as an MXU contraction; 0/1 picks exact values
+        sel = (col == idx[:, kk:kk + 1]).astype(u.dtype)  # (TN, M_pad)
+        g = jax.lax.dot_general(
+            u, sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # (C3p, TN)
+        out_ref[0, :, kk, :] = (g.astype(v.dtype) + v).astype(out_ref.dtype)
+
+
+def _ekg_impl(xflat, u, v, k, interpret):
+    b, d, n = xflat.shape
+    c3 = u.shape[1]
+    tn = min(TN, -(-n // 128) * 128)
+    n_pad = -(-n // tn) * tn
+    d_pad = -(-d // 128) * 128
+    c3_pad = -(-c3 // 16) * 16
+    kp = -(-k // 128) * 128
+    if n_pad != n or d_pad != d:
+        xflat = jnp.pad(xflat, ((0, 0), (0, d_pad - d), (0, n_pad - n)))
+    if n_pad != n or c3_pad != c3:
+        u = jnp.pad(u, ((0, 0), (0, c3_pad - c3), (0, n_pad - n)))
+        v = jnp.pad(v, ((0, 0), (0, c3_pad - c3), (0, n_pad - n)))
+
+    out, idx = pl.pallas_call(
+        functools.partial(_edge_kernel, k=k, m=n, m_pad=n_pad, kp=kp),
+        grid=(b, n_pad // tn),
+        in_specs=[
+            pl.BlockSpec((1, d_pad, tn), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3_pad, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3_pad, tn), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c3_pad, k, tn), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, kp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c3_pad, k, n_pad), u.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, kp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.PARALLEL, pltpu.PARALLEL),
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(xflat, xflat, u, v)
+    return out[:, :c3, :, :n], idx[:, :n, :k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def edge_knn_gather(xflat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                    k: int, interpret: bool = False):
+    """Fused dynamic-graph EdgeConv gather.
+
+    xflat: (B, D, N) plane-flat features defining the kNN metric (euclidean
+    over columns), u: (B, C3, N) pre-transformed neighbour features,
+    v: (B, C3, N) centre features -> (B, C3, k, N) with
+    ``out[..., kk, q] = u[..., idx[q, kk]] + v[..., q]``.
+    """
+    out, _ = _ekg_fwd(xflat, u, v, k, interpret)
+    return out
+
+
+def _ekg_fwd(xflat, u, v, k, interpret):
+    out, idx = _ekg_impl(xflat, u, v, k, interpret)
+    # zero-size probes carry the input shapes/dtypes into the bwd rule
+    return out, (idx, jnp.zeros((xflat.shape[1], 0), xflat.dtype),
+                 jnp.zeros((0,), u.dtype), jnp.zeros((0,), v.dtype))
+
+
+def _ekg_bwd(k, interpret, res, ct):
+    idx, x_probe, u_probe, v_probe = res
+    b, n, _ = idx.shape
+    c3 = ct.shape[1]
+    ctf = ct.astype(jnp.float32)
+    dv = jnp.sum(ctf, axis=2).astype(v_probe.dtype)
+    # scatter-add of ct into the selected columns, as a one-hot contraction
+    # (a TPU scatter walks rows serially); e = kk*N + q matches the (k, N)
+    # minor-dims flatten of ct.  0/1 one-hot in bf16 is exact; accumulation
+    # runs f32 on the MXU.
+    idx_t = jnp.swapaxes(idx, 1, 2).reshape(b, k * n)
+    oh = (
+        idx_t[:, :, None] == jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    du = jnp.einsum(
+        "bem,bce->bcm", oh, ctf.reshape(b, c3, k * n),
+        preferred_element_type=jnp.float32,
+    ).astype(u_probe.dtype)
+    # indices are piecewise constant in xflat: zero cotangent
+    dx = jnp.zeros((b, x_probe.shape[0], n), x_probe.dtype)
+    return dx, du, dv
+
+
+edge_knn_gather.defvjp(_ekg_fwd, _ekg_bwd)
