@@ -290,6 +290,33 @@ class TestEdgeConvDecomposition:
             gk, gi,
         )
 
+    def test_edge_bwd_chunked_onehot_matches_scatter(self, rng, monkeypatch):
+        """_ekg_bwd's k-chunked one-hot contraction (engaged when
+        b*k*n*n exceeds _BWD_ONEHOT_MAX, e.g. the n=2048 eligibility
+        corner) must equal the direct scatter-add semantics."""
+        from vn_pointcloudcompletion_tpu.ops import knn_pallas
+
+        b, c3, n, k = 2, 5, 32, 16
+        idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+        ct = jnp.asarray(
+            rng.standard_normal((b, c3, k, n)).astype(np.float32)
+        ).reshape(b, c3, k * n)
+        res = (idx, jnp.zeros((7, 0), jnp.float32),
+               jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.float32))
+
+        du_ref = np.zeros((b, c3, n), np.float32)
+        ct_kn = np.asarray(ct).reshape(b, c3, k, n)
+        for bi in range(b):
+            for kk in range(k):
+                for q in range(n):
+                    du_ref[bi, :, idx[bi, q, kk]] += ct_kn[bi, :, kk, q]
+
+        _, du_single, _ = knn_pallas._ekg_bwd(k, True, res, ct)
+        monkeypatch.setattr(knn_pallas, "_BWD_ONEHOT_MAX", b * 3 * n * n)
+        _, du_chunk, _ = knn_pallas._ekg_bwd(k, True, res, ct)
+        np.testing.assert_allclose(du_single, du_ref, atol=1e-5)
+        np.testing.assert_allclose(du_chunk, du_ref, atol=1e-5)
+
     def test_onehot_gather_matches_take(self, rng):
         from vn_pointcloudcompletion_tpu.ops.knn import gather_planes
 

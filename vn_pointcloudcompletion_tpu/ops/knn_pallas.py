@@ -146,6 +146,9 @@ topk_min_pallas.defvjp(_topk_fwd, _topk_bwd)
 # ---------------------------------------------------------------------------
 
 _MAX_D = 512
+# cap on the backward one-hot operand's element count (b * k_chunk * n * n);
+# above it the contraction chunks over the k axis (see _ekg_bwd)
+_BWD_ONEHOT_MAX = 64 << 20
 
 
 def fused_eligible(m: int, k: int, d: int) -> bool:
@@ -279,8 +282,17 @@ knn_min_pallas.defvjp(_knn_fwd, _knn_bwd)
 
 def edge_gather_eligible(n: int, d: int, k: int, c3: int) -> bool:
     # k is the sublane axis of the (C3, k, TN) output block: keep it
-    # tile-aligned for both f32 and bf16 (every grouper stage uses k=16)
-    return n <= 2048 and d <= _MAX_D and k in (16, 32) and c3 <= 1536
+    # tile-aligned for both f32 and bf16 (every grouper stage uses k=16).
+    # The n*c3 product cap bounds the per-program VMEM footprint (the u
+    # block + out block dominate): 512*1536 covers every engaged grouper
+    # stage (vn_pointr conv4/5 n=512 c3=384, conv6 n=128 c3=768;
+    # vn_dgcnn_fps conv4 c3=384 / conv5 c3=768 at n=512) while keeping the
+    # n=2048 corner to c3<=384, far from the Mosaic allocation ceiling the
+    # unbounded gate risked at n=2048 x c3=1536.
+    return (
+        n <= 2048 and d <= _MAX_D and k in (16, 32) and c3 <= 1536
+        and n * c3 <= 512 * 1536
+    )
 
 
 def _edge_kernel(xq_ref, xr_ref, u_ref, v_ref, out_ref, idx_ref,
@@ -388,15 +400,36 @@ def _ekg_bwd(k, interpret, res, ct):
     # scatter-add of ct into the selected columns, as a one-hot contraction
     # (a TPU scatter walks rows serially); e = kk*N + q matches the (k, N)
     # minor-dims flatten of ct.  0/1 one-hot in bf16 is exact; accumulation
-    # runs f32 on the MXU.
-    idx_t = jnp.swapaxes(idx, 1, 2).reshape(b, k * n)
-    oh = (
-        idx_t[:, :, None] == jnp.arange(n, dtype=jnp.int32)[None, None, :]
-    ).astype(jnp.bfloat16)
-    du = jnp.einsum(
-        "bem,bce->bcm", oh, ctf.reshape(b, c3, k * n),
-        preferred_element_type=jnp.float32,
-    ).astype(u_probe.dtype)
+    # runs f32 on the MXU.  The (B, chunk*N, N) one-hot operand is bounded
+    # to ~64M elements by contracting in chunks over the k axis (a single
+    # shot at the n=2048 eligibility corner would be ~537M elements / >1 GB
+    # of HBM); every engaged grouper stage (n <= 512) stays single-shot.
+    idx_t = jnp.swapaxes(idx, 1, 2)                     # (B, k, N)
+    cols = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    k_chunk = max(1, min(k, _BWD_ONEHOT_MAX // max(1, b * n * n)))
+
+    def oh_contract(idx_part, ct_part, kc):
+        oh = (idx_part.reshape(b, kc * n)[:, :, None] == cols).astype(
+            jnp.bfloat16
+        )
+        return jnp.einsum(
+            "bem,bce->bcm", oh, ct_part.reshape(b, c3, kc * n),
+            preferred_element_type=jnp.float32,
+        )
+
+    if k_chunk >= k:
+        du_f32 = oh_contract(idx_t, ctf.reshape(b, c3, k, n), k)
+    else:
+        ct_kn = ctf.reshape(b, c3, k, n)
+        du_f32 = sum(
+            oh_contract(
+                idx_t[:, k0:k0 + min(k_chunk, k - k0)],
+                ct_kn[:, :, k0:k0 + min(k_chunk, k - k0)],
+                min(k_chunk, k - k0),
+            )
+            for k0 in range(0, k, k_chunk)
+        )
+    du = du_f32.astype(u_probe.dtype)
     # indices are piecewise constant in xflat: zero cotangent
     dx = jnp.zeros((b, x_probe.shape[0], n), x_probe.dtype)
     return dx, du, dv
