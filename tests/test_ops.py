@@ -290,6 +290,84 @@ class TestEMDOracle:
                 np.asarray(gb), np.asarray(gd), atol=2e-4 * max(scale, 1e-6)
             )
 
+    @pytest.mark.parametrize("n,m", [(64, 64), (100, 72), (256, 256)])
+    def test_fused_pallas_matches_streamed(self, rng, n, m):
+        """The fused-annealing Pallas program (ops/emd_pallas.py, interpret
+        on CPU) must reproduce the streamed XLA path's full contract —
+        cost AND all four match moments of the custom VJP — including
+        through the padding path (non-TR-multiple sizes)."""
+        from vn_pointcloudcompletion_tpu.ops.emd import _emd_blocked_impl
+        from vn_pointcloudcompletion_tpu.ops.emd_pallas import (
+            emd_rounds_pallas,
+        )
+
+        from vn_pointcloudcompletion_tpu.ops.emd import approx_match_reference
+
+        a = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.standard_normal((2, m, 3)).astype(np.float32) * 0.3)
+        want = _emd_blocked_impl(a, b, 32)
+        got = emd_rounds_pallas(a, b, interpret=True)
+        # f64 oracle moments: s_n[k] = sum_l match[l,k], t_n[k] = sum_l
+        # match[l,k]*xyz2[l] (and the column-side pair from match.T)
+        match = approx_match_reference(a, b)            # (B, M, N) f64
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        oracle = (
+            None,
+            match.sum(axis=1),
+            np.einsum("bmn,bmd->bnd", match, bn),
+            match.sum(axis=2),
+            np.einsum("bmn,bnd->bmd", match, an),
+        )
+        for g, w, o, name in zip(got, want, oracle,
+                                 ("cost", "s_n", "t_n", "s_m", "t_m")):
+            assert g.shape == w.shape, name
+            scale = max(float(np.abs(np.asarray(w)).max()), 1e-6)
+            if name == "cost":
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), atol=2e-4 * scale,
+                    err_msg=name,
+                )
+                continue
+            # exp(level*d) at |level|=4^7 amplifies f32 distance round-off
+            # by ~|level|*ulp, so two valid f32 paths legitimately differ
+            # by ~1e-3 rel on near-tie entries; pin agreement loosely and
+            # accuracy vs the f64 oracle tightly (no worse than the
+            # streamed path, up to the same amplification head-room)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-2 * scale, err_msg=name
+            )
+            err_stream = float(np.abs(np.asarray(w) - o).max())
+            err_fused = float(np.abs(np.asarray(g) - o).max())
+            assert err_fused <= 3.0 * err_stream + 2e-4 * scale, (
+                name, err_fused, err_stream,
+            )
+
+    def test_fused_dispatch_and_gradients(self, rng, monkeypatch):
+        """With VN_EMD_FUSED=1 the blocked entrypoint routes eligible shapes
+        through the Pallas program (interpret off-TPU); the custom VJP's
+        gradients must match the streamed path's."""
+        monkeypatch.setenv("VN_EMD_FUSED", "1")
+        from vn_pointcloudcompletion_tpu.ops.emd import (
+            earth_mover_distance_blocked,
+        )
+
+        n = 1024  # smallest fused-eligible square (n*m >= 1<<20)
+        a = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32) * 0.3)
+        val_f, grads_f = jax.value_and_grad(
+            lambda x, y: earth_mover_distance_blocked(x, y).sum(),
+            argnums=(0, 1))(a, b)
+        monkeypatch.setenv("VN_EMD_FUSED", "0")
+        val_s, grads_s = jax.value_and_grad(
+            lambda x, y: earth_mover_distance_blocked(x, y).sum(),
+            argnums=(0, 1))(a, b)
+        np.testing.assert_allclose(float(val_f), float(val_s), rtol=2e-4)
+        for gf, gs in zip(grads_f, grads_s):
+            scale = max(float(np.abs(np.asarray(gs)).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gs), atol=2e-3 * scale
+            )
+
     def test_blocked_trainable_at_dense_sizes_loss_path(self, rng):
         """coarse_loss='emd' routes to the blocked path above 2048^2 and is
         differentiable there (no (M, N) match in HBM)."""

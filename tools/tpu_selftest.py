@@ -221,6 +221,25 @@ def main() -> int:
     results.append(_check(
         "fps_pallas", (np.asarray(got) == np.asarray(want)).all()))
 
+    # 7) fused-annealing EMD rounds vs the streamed XLA path
+    from vn_pointcloudcompletion_tpu.ops.emd import _emd_blocked_impl
+    from vn_pointcloudcompletion_tpu.ops.emd_pallas import emd_rounds_pallas
+
+    e1 = jnp.asarray(rng.standard_normal((2, 1024, 3)), jnp.float32) * 0.2
+    e2 = jnp.asarray(rng.standard_normal((2, 1024, 3)), jnp.float32) * 0.2
+    os.environ["VN_EMD_FUSED"] = "0"  # pin the fallback inside the jit
+    got, want = jax.jit(lambda a, b: (
+        emd_rounds_pallas(a, b, interp), _emd_blocked_impl(a, b, 256)))(e1, e2)
+    os.environ.pop("VN_EMD_FUSED", None)
+    ok = True
+    for g, w, nm in zip(got, want, ("cost", "s_n", "t_n", "s_m", "t_m")):
+        scale = max(float(np.abs(np.asarray(w)).max()), 1e-6)
+        # near-tie weights legitimately differ between two valid f32-grade
+        # distance paths by ~|level|*ulp (see ops/emd_pallas.py docstring)
+        ok = ok and np.allclose(np.asarray(g), np.asarray(w),
+                                atol=1e-2 * scale)
+    results.append(_check("emd_rounds_pallas", ok))
+
     print(f"{sum(results)}/{len(results)} kernel checks passed")
     return 0 if all(results) else 1
 

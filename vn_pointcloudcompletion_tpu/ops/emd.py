@@ -93,6 +93,16 @@ def _emd_blocked_impl(xyz1, xyz2, block):
     x2 = xyz2.astype(jnp.float32)
     b, n, _ = x1.shape
     m = x2.shape[1]
+
+    from vn_pointcloudcompletion_tpu.ops import emd_pallas
+
+    if emd_pallas.fused_enabled() and emd_pallas.fused_eligible(n, m):
+        # fused-annealing Pallas path: same rounds, epsilons and masking,
+        # but the exp-weight tiles never touch HBM (~3x traffic cut — see
+        # emd_pallas module docstring / BASELINE.md round-4 roofline)
+        return emd_pallas.emd_rounds_pallas(
+            x1, x2, interpret=jax.default_backend() != "tpu"
+        )
     if n >= m:
         multi_l, multi_r = 1.0, float(n // m)
     else:
