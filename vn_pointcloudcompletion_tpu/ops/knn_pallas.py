@@ -314,12 +314,21 @@ def _edge_kernel(xq_ref, xr_ref, u_ref, v_ref, out_ref, idx_ref,
     idx_ref[0] = idx
     u = u_ref[0]                           # (C3p, M_pad)
     v = v_ref[0]                           # (C3p, TN)
+    # 0/1 one-hot row-select as an MXU contraction.  bf16 features pass
+    # through a DEFAULT (single-pass) product exactly; f32 features need
+    # HIGHEST — DEFAULT would silently truncate them to bf16 in the MXU
+    # pass (measured on-chip: ~bf16-ulp error on every gathered value),
+    # and HIGHEST's 3-way split reproduces all 24 mantissa bits exactly.
+    sel_prec = (
+        jax.lax.Precision.DEFAULT if u.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     for kk in range(k):
-        # one-hot row-select as an MXU contraction; 0/1 picks exact values
         sel = (col == idx[:, kk:kk + 1]).astype(u.dtype)  # (TN, M_pad)
         g = jax.lax.dot_general(
             u, sel, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=sel_prec,
         )                                  # (C3p, TN)
         out_ref[0, :, kk, :] = (g.astype(v.dtype) + v).astype(out_ref.dtype)
 
@@ -408,6 +417,15 @@ def _ekg_bwd(k, interpret, res, ct):
     cols = jnp.arange(n, dtype=jnp.int32)[None, None, :]
     k_chunk = max(1, min(k, _BWD_ONEHOT_MAX // max(1, b * n * n)))
 
+    # bf16-feature models lose nothing in a DEFAULT (single-pass) product —
+    # their cotangents round-trip bf16 exactly; f32 models need HIGHEST or
+    # the MXU pass truncates the f32 cotangents to bf16 (same hazard as the
+    # forward gather, see _edge_kernel)
+    oh_prec = (
+        jax.lax.Precision.DEFAULT if u_probe.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
     def oh_contract(idx_part, ct_part, kc):
         oh = (idx_part.reshape(b, kc * n)[:, :, None] == cols).astype(
             jnp.bfloat16
@@ -415,6 +433,7 @@ def _ekg_bwd(k, interpret, res, ct):
         return jnp.einsum(
             "bem,bce->bcm", oh, ct_part.reshape(b, c3, kc * n),
             preferred_element_type=jnp.float32,
+            precision=oh_prec,
         )
 
     if k_chunk >= k:
