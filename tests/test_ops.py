@@ -338,7 +338,13 @@ class TestEMDOracle:
             )
             err_stream = float(np.abs(np.asarray(w) - o).max())
             err_fused = float(np.abs(np.asarray(g) - o).max())
-            assert err_fused <= 3.0 * err_stream + 2e-4 * scale, (
+            # the kernel's thin ratio-sum dots run 2-way-split bf16
+            # (2^-16 operand grade, measured ~25x annealing-feedback
+            # amplification on the per-point t moments — a deliberate
+            # speed/accuracy point, see ops/emd_pallas.py::thin_dot);
+            # supplies and cost are tie/feedback-robust and stay tight
+            floor = 3e-3 * scale if name[0] == "t" else 2e-4 * scale
+            assert err_fused <= 3.0 * err_stream + floor, (
                 name, err_fused, err_stream,
             )
 
@@ -364,8 +370,10 @@ class TestEMDOracle:
         np.testing.assert_allclose(float(val_f), float(val_s), rtol=2e-4)
         for gf, gs in zip(grads_f, grads_s):
             scale = max(float(np.abs(np.asarray(gs)).max()), 1e-6)
+            # gradient noise floor from the 2-way-split thin dots (see
+            # the oracle test above) — ~1e-3*scale on per-point moments
             np.testing.assert_allclose(
-                np.asarray(gf), np.asarray(gs), atol=2e-3 * scale
+                np.asarray(gf), np.asarray(gs), atol=5e-3 * scale
             )
 
     def test_blocked_trainable_at_dense_sizes_loss_path(self, rng):

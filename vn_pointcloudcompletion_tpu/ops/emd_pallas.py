@@ -60,9 +60,19 @@ same zero-supply/zero-capacity masking as the XLA path).  All per-point
 state (remains, ratios, the widened v4/u4 moment operands and the s/t match
 moments of the custom VJP) is carried as (rows, length) row-major vectors in
 VMEM scratch across a (B, rounds) grid; every reduction that produces a
-row-layout vector runs as a thin MXU contraction (HIGHEST — their outputs
-are thin, so the multi-pass cost is noise), and no (length, 1) column
-relayouts exist anywhere.
+row-layout vector runs as a thin MXU contraction, and no (length, 1) column
+relayouts exist anywhere.  Two further measured cuts: next round's supply
+sums are computed during pass C from the same distance tiles (the C+A
+merge: 30 -> 21 distance matmuls, 49.0 -> 46.3 ms/cloud), and the thin
+ratio-sum dots run as three exact single-pass bf16 products of 2-way-split
+operands instead of HIGHEST (``thin_dot`` below: 46.3 -> 30.9 ms/cloud —
+the 6-pass HIGHEST thin dots were re-streaming the 16 MB weight tile and
+cost 29 ms of the 46).  The 2^-16 thin-dot operand grade costs per-point
+t-moment accuracy on CPU oracles (~2e-3 rel at 256 pts vs ~5e-6 with
+HIGHEST, annealing feedback amplifies it ~25x) but is invisible on-chip,
+where tie-reassignment noise dominates both paths (measured: identical
+cost/t deviations vs the streamed path before and after the change);
+supplies and cost stay tight.
 
 The public entry returns exactly ``_emd_blocked_impl``'s tuple
 ``(cost, s_n, t_n, s_m, t_m)`` and is dispatched from there — the trainable
@@ -168,23 +178,50 @@ def _kernel(levels_ref, x1q_ref, x2r_ref, x1a_ref, x2a_ref,
         d = jnp.maximum(d, 0.0)
         return jnp.exp(level * d), d
 
+    def _split2(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def thin_dot(vec, mat, dims):
+        # f32 x f32 contraction as THREE exact bf16 single-pass dots.
+        # Mosaic offers only DEFAULT (one bf16 pass: rounds f32
+        # operands to 2^-8 — visibly shifts the ratio sums) and
+        # HIGHEST (6 passes: measured 29 ms/cloud of the kernel's 46 —
+        # each pass re-streams the 16 MB weight tile).  A manual 2-way
+        # split of BOTH operands needs only the three >=2^-16 product
+        # terms (vh.mh + vh.ml + vl.mh, each exact in the f32
+        # accumulator; dropped vl.ml <= 2^-32) — f32-grade sums at
+        # half the HIGHEST cost.
+        vh, vl = _split2(vec)
+        mh, ml = _split2(mat)
+
+        def dd(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+
+        return dd(vh, mh) + dd(vh, ml) + dd(vl, mh)
+
     def rowvec_dot(vec, mat):
-        # (rows, K) x (TR, K) -> (rows, TR): reductions land in row layout;
-        # thin outputs make HIGHEST free here
-        return jax.lax.dot_general(
-            vec, mat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # (rows, K) x (TR, K) -> (rows, TR): reductions land in row layout
+        return thin_dot(vec, mat, (((1,), (1,)), ((), ())))
 
     # ---- pass A: row supply sums --------------------------------------
-    def pass_a(i, _):
-        off = pl.multiple_of(i * _TR, _TR)
-        w, _ = w_tile(off)
-        suml_s[0:1, pl.ds(off, _TR)] = rowvec_dot(remain_r[:], w)
-        return 0
+    # only the FIRST round pays a dedicated pass: rounds r >= 1 find their
+    # suml already in scratch, computed by round r-1's pass C from the same
+    # distance tiles (the C+A merge — saves 10 of 30 distance matmuls;
+    # identical math: suml(r) needs remain_r after round r-1's pass-B
+    # epilogue, which has already run when pass C executes)
+    @pl.when(r == 0)
+    def _pass_a():
+        def pass_a(i, _):
+            off = pl.multiple_of(i * _TR, _TR)
+            w, _ = w_tile(off)
+            suml_s[0:1, pl.ds(off, _TR)] = rowvec_dot(remain_r[:], w)
+            return 0
 
-    jax.lax.fori_loop(0, n_pad // _TR, pass_a, 0)
+        jax.lax.fori_loop(0, n_pad // _TR, pass_a, 0)
+
     ratio_l[:] = remain_l[:] / (suml_s[:] + 1e-9)
     v4_s[:] = x1a * ratio_l[:]                          # [rl, rl*x, rl*y, rl*z]
 
@@ -197,11 +234,7 @@ def _kernel(levels_ref, x1q_ref, x2r_ref, x1a_ref, x2a_ref,
         off = pl.multiple_of(i * _TR, _TR)
         w, _ = w_tile(off)
         v4t = v4_s[:, pl.ds(off, _TR)]                  # (4, TR)
-        z_s[:] = z_s[:] + jax.lax.dot_general(
-            v4t, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        z_s[:] = z_s[:] + thin_dot(v4t, w, (((1,), (0,)), ((), ())))
         return 0
 
     jax.lax.fori_loop(0, n_pad // _TR, pass_b, 0)
@@ -214,12 +247,24 @@ def _kernel(levels_ref, x1q_ref, x2r_ref, x1a_ref, x2a_ref,
     accm_s[:] = accm_s[:] + ratio_r * z_s[:]            # s_m row 0, t_m rows 1:4
     u4_s[:] = x2a * ratio_r
 
-    # ---- pass C: row moments + cost -----------------------------------
+    # ---- pass C: row moments + cost (+ next round's pass A) -----------
+    lvl_next = levels_ref[jnp.minimum(r + 1, n_rounds - 1)]
+    is_last = r == n_rounds - 1
+
     def pass_c(i, _):
         off = pl.multiple_of(i * _TR, _TR)
         w, d = w_tile(off)
         y_s[:, pl.ds(off, _TR)] = rowvec_dot(u4_s[:], w)
         costrow_s[0:1, pl.ds(off, _TR)] = rowvec_dot(ratio_r_s[:], w * d)
+
+        # C+A merge: next round's supply sums from the same distance tile
+        # (remain_r already holds its post-round-r value — pass-B epilogue
+        # ran above; the exp is free, the saved matmul is not)
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            wn = jnp.exp(lvl_next * d)
+            suml_s[0:1, pl.ds(off, _TR)] = rowvec_dot(remain_r[:], wn)
+
         return 0
 
     jax.lax.fori_loop(0, n_pad // _TR, pass_c, 0)
